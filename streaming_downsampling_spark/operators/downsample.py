@@ -1,0 +1,237 @@
+"""Windowed downsampling operators over (key, tumbling window) groups.
+
+Each operator is ``groupBy(key, window(ts, ...)).applyInPandas`` with an
+Arrow-batched kernel from :mod:`..functions.kernels` — whole-group numpy,
+never per-row Python (BASELINE.json input_hint).  The group is one retention
+window of one conversation, so group size is bounded by the window length,
+which is what keeps a 100 TB run safe: skewed long conversations widen the
+number of groups, not the size of any single group.
+
+On a real cluster this module ships via ``spark-submit --py-files`` (zip of
+the package); in local mode the executor threads share the driver's
+sys.path.
+
+Reference parity: selector semantics are /root/reference/new_evaluation.py:66-198;
+the model pipeline is /root/reference/core/downsampling_algorithm2.py:243-395
+re-expressed with deterministic frozen weights.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions import kernels as K
+
+_SELECTORS: dict[str, Callable[..., np.ndarray]] = {
+    "uniform": lambda x, t, **kw: K.uniform_indices(len(x), t),
+    "random": lambda x, t, **kw: K.random_indices(len(x), t, seed=kw.get("seed", 42)),
+    "minmax": lambda x, t, **kw: K.minmax_indices(x, t),
+    "lttb": lambda x, t, **kw: K.lttb_indices(x, t),
+    "pip": lambda x, t, **kw: K.pip_indices(x, t),
+    "wavelet_threshold": lambda x, t, **kw: K.wavelet_threshold_indices(
+        x, t, wavelet=kw.get("wavelet", "db4")
+    ),
+}
+
+SELECT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_start", TimestampType()),
+        StructField("sel_pos", IntegerType()),
+        StructField("sel_ord", LongType()),
+        StructField("sel_ts", TimestampType()),
+        StructField("sel_value", DoubleType()),
+        StructField("method", StringType()),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_start", TimestampType()),
+        StructField("method", StringType()),
+        StructField("n", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("mse", DoubleType()),
+        StructField("rmse", DoubleType()),
+        StructField("mae", DoubleType()),
+        StructField("r2", DoubleType()),
+        StructField("corr", DoubleType()),
+        StructField("spectral_mse", DoubleType()),
+    ]
+)
+
+MODEL_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_start", TimestampType()),
+        StructField("n", IntegerType()),
+        StructField("pooled_approx", ArrayType(DoubleType())),
+        StructField("detail_values", ArrayType(DoubleType())),
+        StructField("detail_indices", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _grouped(df: DataFrame, window: str, key_col: str, ts_col: str):
+    return df.groupBy(
+        F.col(key_col).alias("key"), F.window(ts_col, window).alias("w")
+    )
+
+
+def _sorted_group(pdf: pd.DataFrame, ts_col: str, order_col: str | None):
+    cols = [order_col, ts_col] if order_col and order_col in pdf else [ts_col]
+    return pdf.sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def downsample_select(
+    df: DataFrame,
+    method: str,
+    target: int,
+    window: str = "1 hour",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "turn_idx",
+    **kw,
+) -> DataFrame:
+    """Select ``target`` representative points per (key, window) group.
+
+    Output rows carry the in-group position (``sel_pos``), the stable order
+    key (``sel_ord``), the original timestamp and value — never mutated, so
+    the per-row text-equality invariant holds by joining back on
+    (key, sel_ord).
+    """
+    if method not in _SELECTORS:
+        raise ValueError(f"unknown method {method!r}; have {sorted(_SELECTORS)}")
+    selector = _SELECTORS[method]
+
+    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _sorted_group(pdf, ts_col, order_col)
+        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
+        idx = selector(x, target, **kw)
+        return pd.DataFrame(
+            {
+                "key": key_tuple[0],
+                "window_start": key_tuple[1]["start"],
+                "sel_pos": idx.astype(np.int32),
+                "sel_ord": (
+                    pdf[order_col].to_numpy()[idx].astype(np.int64)
+                    if order_col and order_col in pdf
+                    else idx.astype(np.int64)
+                ),
+                "sel_ts": pdf[ts_col].to_numpy()[idx],
+                "sel_value": x[idx],
+                "method": method,
+            }
+        )
+
+    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, SELECT_SCHEMA)
+
+
+def downsample_metrics(
+    df: DataFrame,
+    method: str,
+    target: int,
+    window: str = "1 hour",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "turn_idx",
+    **kw,
+) -> DataFrame:
+    """Downsample + endpoint-anchored linear reconstruction + error metrics
+    per group (the reference's evaluation loop,
+    /root/reference/new_evaluation.py:185-209, distributed)."""
+    if method in _SELECTORS:
+        selector = _SELECTORS[method]
+    elif method in ("avg_pool", "max_pool"):
+        selector = None
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _sorted_group(pdf, ts_col, order_col)
+        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
+        n = len(x)
+        if selector is not None:
+            idx = selector(x, target, **kw)
+            rec = K.reconstruct_linear(idx, x[idx], n)
+            k = len(idx)
+        else:
+            pooled = K.avg_pool(x, target) if method == "avg_pool" else K.max_pool(x, target)
+            w = max(1, n // target)
+            centers = np.arange(len(pooled)) * w + (w - 1) / 2.0
+            rec = np.interp(np.arange(n, dtype=np.float64), centers, pooled)
+            k = len(pooled)
+        m = K.reconstruction_metrics(x, rec)
+        return pd.DataFrame(
+            [
+                {
+                    "key": key_tuple[0],
+                    "window_start": key_tuple[1]["start"],
+                    "method": method,
+                    "n": n,
+                    "k": k,
+                    **m,
+                }
+            ]
+        )
+
+    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, METRICS_SCHEMA)
+
+
+def downsample_model(
+    df: DataFrame,
+    window: str = "1 hour",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "turn_idx",
+    wavelet: str = "db4",
+    retention: float = 0.8,
+    approx_ds_factor: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference model pipeline per group: DWT → pooled approximation +
+    attention-selected detail coefficients
+    (/root/reference/core/downsampling_algorithm2.py:279-339)."""
+
+    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _sorted_group(pdf, ts_col, order_col)
+        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
+        pooled, sel, idx = K.model_downsample(
+            x,
+            wavelet=wavelet,
+            approx_ds_factor=approx_ds_factor,
+            retention=retention,
+            seed=seed,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "key": key_tuple[0],
+                    "window_start": key_tuple[1]["start"],
+                    "n": len(x),
+                    "pooled_approx": pooled.tolist(),
+                    "detail_values": sel.tolist(),
+                    "detail_indices": idx.astype(np.int32).tolist(),
+                }
+            ]
+        )
+
+    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, MODEL_SCHEMA)

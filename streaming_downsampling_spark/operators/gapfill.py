@@ -1,0 +1,113 @@
+"""Gap-fill: dense time spine + LOCF / linear interpolation.
+
+Replaces the reference's truncate/zero-pad schema enforcement
+(/root/reference/main.py:44-48, /root/reference/core/streaming_pipeline.py:284-289)
+with the time-series-native operation: a per-key dense grid of tier windows,
+missing buckets filled by last-observation-carried-forward or
+linear interpolation (the reconstruction semantics of
+/root/reference/new_evaluation.py:185-198 expressed relationally).
+
+Entirely built-in expressions — ``sequence`` + ``explode`` generates the
+spine, two window functions fetch the bracketing known points, one projection
+interpolates.  No Python in the path; Catalyst keeps the whole thing in
+WholeStageCodegen except the two window sorts, which share a single
+(key ORDER BY window_start) shuffle+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .rollup import TIERS
+
+
+def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
+    """Per-key dense grid of window_start values spanning min..max."""
+    interval = F.expr(f"interval {TIERS[tier]}")
+    return (
+        rollup_df.groupBy(key)
+        .agg(
+            F.min("window_start").alias("w0"),
+            F.max("window_start").alias("w1"),
+        )
+        .select(
+            key,
+            F.explode(F.sequence(F.col("w0"), F.col("w1"), interval)).alias(
+                "window_start"
+            ),
+        )
+    )
+
+
+def gapfill(
+    rollup_df: DataFrame,
+    tier: str,
+    value_col: str = "avg_value",
+    method: str = "linear",
+    key: str = "key",
+) -> DataFrame:
+    """Fill missing tier buckets for ``value_col``.
+
+    methods: ``locf`` (carry last known forward; trailing nulls backfilled),
+    ``linear`` (interpolate between bracketing known points; edges clamp to
+    nearest known — the endpoint-anchoring rule of
+    /root/reference/new_evaluation.py:185-198), ``zero`` (the reference's
+    literal pad-with-zero).
+
+    Output: (key, window_start, value, filled:boolean).
+    """
+    spine = time_spine(rollup_df, tier, key=key)
+    base = spine.join(
+        rollup_df.select(key, "window_start", F.col(value_col).alias("_v")),
+        [key, "window_start"],
+        "left",
+    )
+    if method == "zero":
+        return base.select(
+            key,
+            "window_start",
+            F.coalesce("_v", F.lit(0.0)).alias("value"),
+            F.col("_v").isNull().alias("filled"),
+        )
+
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ts_long = F.unix_micros(F.col("window_start").cast("timestamp"))
+    known_ts = F.when(F.col("_v").isNotNull(), ts_long)
+    annotated = base.select(
+        key,
+        "window_start",
+        "_v",
+        F.last("_v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_ts, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("_v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_ts, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    if method == "locf":
+        value = F.coalesce("prev_v", "next_v")
+    elif method == "linear":
+        t = F.unix_micros(F.col("window_start").cast("timestamp"))
+        frac = (t - F.col("prev_t")) / (F.col("next_t") - F.col("prev_t"))
+        interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        value = (
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .when(F.col("prev_v").isNull(), F.col("next_v"))
+            .when(F.col("next_v").isNull(), F.col("prev_v"))
+            .otherwise(interp)
+        )
+    else:
+        raise ValueError(f"unknown gapfill method {method!r}")
+    return annotated.select(
+        key,
+        "window_start",
+        value.alias("value"),
+        F.col("_v").isNull().alias("filled"),
+    )

@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from streaming_downsampling_spark.functions import gorilla as g
+
+
+def _roundtrip_ts(ts):
+    ts = np.asarray(ts, dtype=np.int64)
+    out = g.decode_timestamps(g.encode_timestamps(ts))
+    np.testing.assert_array_equal(out, ts)
+
+
+def _roundtrip_vals(v):
+    v = np.asarray(v, dtype=np.float64)
+    out = g.decode_values(g.encode_values(v))
+    # bit-pattern equality (NaN-safe, -0.0 vs 0.0 distinguished)
+    np.testing.assert_array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+def test_empty_and_singleton():
+    _roundtrip_ts([])
+    _roundtrip_ts([1_700_000_000_000_000])
+    _roundtrip_vals([])
+    _roundtrip_vals([3.14159])
+
+
+def test_regular_timestamps_compress_well():
+    ts = 1_700_000_000_000_000 + np.arange(5000, dtype=np.int64) * 5_000_000
+    blob = g.encode_timestamps(ts)
+    _roundtrip_ts(ts)
+    # fully regular cadence: ~1 bit/point after the header
+    assert len(blob) < 5000 / 8 + 32
+
+
+def test_constant_values_compress_well():
+    v = np.full(5000, 42.5)
+    blob = g.encode_values(v)
+    _roundtrip_vals(v)
+    assert len(blob) < 5000 / 8 + 32
+
+
+def test_special_floats():
+    _roundtrip_vals([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, 1.7e308])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=300
+    )
+)
+def test_timestamp_roundtrip_property(deltas):
+    ts = np.cumsum(np.array([1_700_000_000_000_000] + deltas, dtype=np.int64))
+    _roundtrip_ts(ts)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_value_roundtrip_property(vals):
+    _roundtrip_vals(vals)
+
+
+def test_chunk_roundtrip():
+    rng = np.random.default_rng(42)
+    n = 1000
+    ts = 1_700_000_000_000_000 + np.cumsum(
+        rng.integers(1, 10_000_000, size=n)
+    ).astype(np.int64)
+    vals = np.round(rng.normal(200, 50, size=n), 2)
+    tb, vb = g.encode_chunk(ts, vals)
+    ts2, v2 = g.decode_chunk(tb, vb)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))

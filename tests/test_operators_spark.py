@@ -1,0 +1,160 @@
+"""End-to-end: Spark operators vs the single-process numpy/pandas oracle.
+
+Exact float64 equality, not approximate — rollups are algebraic and the
+kernels are shared code, so any drift means a real ordering/partitioning bug.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_downsampling_spark import oracle
+from streaming_downsampling_spark.functions import kernels as K
+from streaming_downsampling_spark.operators.downsample import (
+    downsample_metrics,
+    downsample_model,
+    downsample_select,
+)
+from streaming_downsampling_spark.operators.gapfill import gapfill
+from streaming_downsampling_spark.operators.rollup import (
+    cascade,
+    rollup,
+    rollup_salted,
+)
+
+
+@pytest.fixture(scope="module")
+def opdf(transcripts_tbl):
+    return oracle.to_pandas(transcripts_tbl)
+
+
+def _spark_rollup_pdf(df, tier):
+    out = (
+        df.withColumn("window_start_us", F.unix_micros(F.col("window_start").cast("timestamp")))
+        .select(
+            "key",
+            "window_start_us",
+            "n_points",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "first_value",
+            "last_value",
+            "avg_value",
+        )
+        .orderBy("key", "window_start_us")
+        .toPandas()
+    )
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_rollup_matches_oracle(transcripts, opdf, tier):
+    got = _spark_rollup_pdf(rollup(transcripts, tier), tier)
+    exp = (
+        oracle.rollup_oracle(opdf, tier)
+        .sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    exp["n_points"] = exp["n_points"].astype("int64")
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_exact=True)
+
+
+def test_cascade_equals_direct(transcripts):
+    r1m = rollup(transcripts, "1m")
+    for tier in ["1h", "1d"]:
+        got = _spark_rollup_pdf(cascade(r1m, tier), tier)
+        exp = _spark_rollup_pdf(rollup(transcripts, tier), tier)
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_salted_rollup_equals_plain(transcripts):
+    got = _spark_rollup_pdf(rollup_salted(transcripts, "1h", n_salts=8), "1h")
+    exp = _spark_rollup_pdf(rollup(transcripts, "1h"), "1h")
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+@pytest.mark.parametrize("method", ["linear", "locf", "zero"])
+def test_gapfill_matches_oracle(transcripts, opdf, method):
+    r1m = rollup(transcripts, "1m")
+    got = (
+        gapfill(r1m, "1m", method=method)
+        .withColumn("window_start_us", F.unix_micros(F.col("window_start").cast("timestamp")))
+        .select("key", "window_start_us", "value", "filled")
+        .orderBy("key", "window_start_us")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle.gapfill_oracle(oracle.rollup_oracle(opdf, "1m"), "1m", method=method)
+        .sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_exact=False, atol=1e-12)
+    # no gaps remain
+    assert not got["value"].isna().any()
+
+
+@pytest.mark.parametrize(
+    "method,fn",
+    [
+        ("uniform", lambda x, t: K.uniform_indices(len(x), t)),
+        ("minmax", K.minmax_indices),
+        ("lttb", K.lttb_indices),
+        ("wavelet_threshold", K.wavelet_threshold_indices),
+    ],
+)
+def test_select_matches_oracle(transcripts, opdf, method, fn):
+    got = (
+        downsample_select(transcripts, method, 20, window="1 hour")
+        .withColumn("window_start_us", F.unix_micros(F.col("window_start").cast("timestamp")))
+        .select("key", "window_start_us", "sel_pos", "sel_ord", "sel_value")
+        .orderBy("key", "window_start_us", "sel_pos")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle.select_oracle(opdf, fn, 20, window="1h")
+        .sort_values(["key", "window_start_us", "sel_pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_exact=True)
+
+
+def test_text_equality_invariant(transcripts):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    selected exemplar turns join back to the input with identical text
+    (BASELINE.json input_hint invariant)."""
+    sel = downsample_select(transcripts, "lttb", 10, window="1 day")
+    joined = sel.join(
+        transcripts.select(
+            F.col("conv_id").alias("key"),
+            F.col("turn_idx").cast("long").alias("sel_ord"),
+            "text",
+            F.length("text").cast("double").alias("orig_len"),
+        ),
+        ["key", "sel_ord"],
+        "inner",
+    )
+    n_sel = sel.count()
+    assert joined.count() == n_sel  # every selected turn resolves
+    assert joined.filter(F.col("sel_value") != F.col("orig_len")).count() == 0
+
+
+def test_downsample_metrics_shape(transcripts):
+    m = downsample_metrics(transcripts, "wavelet_threshold", 20, window="1 day").toPandas()
+    assert (m["k"] <= m["n"]).all()
+    assert m["rmse"].ge(0).all()
+    big = m[m["n"] >= 40]
+    assert (big["r2"] > 0).mean() > 0.8  # structured signal reconstructs well
+
+
+def test_model_downsample_lengths(transcripts):
+    out = downsample_model(transcripts, window="1 day").toPandas()
+    from streaming_downsampling_spark.functions import wavelets as wv
+
+    for _, row in out.head(20).iterrows():
+        c = wv.coeff_length(row["n"], "db4", 1)
+        assert len(row["pooled_approx"]) == (c - 2) // 2 + 1
+        assert len(row["detail_values"]) == max(1, int(round(c * 0.8)))
