@@ -1,0 +1,129 @@
+"""Benchmark harness.  Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns_per_sec": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Two workloads:
+1. headline engine pipeline on the synthetic transcript table (the
+   BASELINE.json metric: turns/sec through gap-fill + tiered rollups +
+   DWT/attention downsample + Gorilla chunks);
+2. the query catalog on the driver's sf-dir tables (per-query seconds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rollup_1h",
+    "rollup_1d_cascade",
+    "gapfill_linear",
+    "haar_threshold",
+    "cumshare_select",
+    "gorilla_roundtrip",
+    "model_downsample",
+    "downsample_error_bench",
+    "pricing_summary",
+    "top_revenue_orders",
+    "dedup_exact",
+    "minhash_lsh",
+    "cosine_topk",
+    "token_count",
+]
+
+
+def transcript_pipeline(spark, sf: float) -> tuple[int, float]:
+    """The north-rule workload: transcripts → signal → 1m/1h/1d tiers →
+    gap-fill → model downsample → compressed chunks.  Returns
+    (n_turns, elapsed_sec)."""
+    import pyspark.sql.functions as F
+
+    from streaming_downsampling_spark.datagen import transcripts_df
+    from streaming_downsampling_spark.operators.compress import compress_chunks
+    from streaming_downsampling_spark.operators.downsample import downsample_model
+    from streaming_downsampling_spark.operators.gapfill import gapfill
+    from streaming_downsampling_spark.operators.rollup import (
+        cascade,
+        rollup,
+        with_signal,
+    )
+
+    df = with_signal(transcripts_df(spark, sf=sf))
+    df = df.persist()
+    n_turns = df.count()
+    t0 = time.time()
+    r1m = rollup(df, "1m")
+    r1h = cascade(r1m, "1h")
+    r1d = cascade(r1h, "1d")
+    # single pass: count() materializes each tier
+    agg = r1d.agg(F.sum("n_points")).collect()
+    gapfill(r1h, "1h", method="linear").agg(F.count(F.lit(1))).collect()
+    downsample_model(df, window="1 day").agg(F.count(F.lit(1))).collect()
+    compress_chunks(df, window="1 day").agg(
+        F.sum("enc_bytes"), F.sum("raw_bytes")
+    ).collect()
+    elapsed = time.time() - t0
+    df.unpersist()
+    assert agg[0][0] == n_turns
+    return n_turns, elapsed
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from streaming_downsampling_spark.queries import QUERIES
+    from streaming_downsampling_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # 1. transcript pipeline throughput (transcript SF scaled off the dir SF)
+    tr_sf = max(sf * 200, 1.0)  # sf0.1 -> ~200k turns
+    n_turns, elapsed = transcript_pipeline(spark, tr_sf)
+    timings["transcript_pipeline"] = round(elapsed, 3)
+    total += elapsed
+    turns_per_sec = n_turns / elapsed if elapsed > 0 else 0.0
+
+    # 2. catalog queries on the sf-dir tables
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "rollup+downsample pipeline + query catalog wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns": n_turns,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's scope (it has no text pipeline) but first-class for a
+training-data engine.  All stages are declarative DataFrame ops so Catalyst
+plans them; the only shuffles are the groupBys on hash keys, which are
+uniformly distributed by construction (hash keys don't skew).
+
+Scale notes (100 TB): exact dedup is one shuffle on md5(text); MinHash-LSH is
+explode(shingles) → one agg per doc (map-side combined) → explode(bands) →
+one agg per bucket.  Band buckets are bounded by collision probability, and
+candidate pair verification joins only within buckets — never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameterization: k independent permutations approximated by
+# (a*h + b) mod p over a 64-bit base hash (standard universal hashing).
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: keep the min-id representative per text.
+
+    Output: (doc_id, n_copies).  One shuffle on the md5 key.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles, exploded: (id, shingle)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return df.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: array of ``num_hashes`` min values.
+
+    ``min((a_i * xxhash64(shingle) + b_i) mod p)`` per doc — the standard
+    estimator for Jaccard similarity of shingle sets (Broder 1997).  Entirely
+    JVM-side expressions; map-side partial min aggregation.
+    """
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    base = F.xxhash64("shingle").cast("decimal(38,0)")
+    aggs = [
+        F.min(
+            F.pmod(
+                base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)
+            ).cast("long")
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.  Bucket join only —
+    no cross join; skewed buckets are bounded by the band-hash space.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice("signature", b * rows + 1, rows).cast("string")).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    |A ∩ B| via a shingle-level join restricted to candidate docs, |A ∪ B| =
+    |A| + |B| − |A ∩ B|.  Output: (doc_a, doc_b, jaccard).
+    """
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.toDF("doc_a", "shingle")
+    sh_b = sh.toDF("doc_b", "shingle")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002), JVM-side.
+
+    Per word: 64-bit hash; per bit: +1 if set else −1, summed over words;
+    fingerprint bit = 1 where the sum > 0.  Implemented as explode(words) →
+    64 conditional sums → bit reassembly — one shuffle, map-side combined.
+    """
+    words = df.select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # avoid the sign bit for portability
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing a simhash prefix block.
+
+    Standard block-permutation trick (one block here; rotate for recall).
+    """
+    s = simhash(df, text_col, id_col)
+    blocked = s.withColumn(
+        "block", F.shiftrightunsigned("simhash", 63 - prefix_bits)
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+    )

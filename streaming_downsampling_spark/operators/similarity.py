@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; a random-hyperplane
+LSH-bucketed variant as the scale path (candidate set shrinks from N to the
+bucket population, turning the O(N·Q) scan into a bucket join).
+
+All JVM-side: dot products via ``F.zip_with`` + ``F.aggregate`` (higher-order
+functions, whole-stage codegen'd), never a Python UDF.  Queries are
+broadcast — the big side streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    # cast each element to double BEFORE multiplying: float32 multiply then
+    # widen loses bits and breaks exact-match vs a double-math oracle
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query vector, the k nearest
+    non-identical vectors.
+
+    ``queries`` (small) is broadcast; the embeddings table is scanned once.
+    Deterministic ranking: (cosine desc, neighbor_id asc) with cosine rounded
+    so last-ulp float noise can't flip ranks across engines/runs.
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
+    )
+    cos = _dot(F.col("qv"), F.col("ev")) / (_norm(F.col("qv")) * _norm(F.col("ev")))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (Charikar 2002 SimHash for
+    cosine).  ``n_planes`` seeded random hyperplanes → ``n_planes``-bit bucket
+    id; vectors in the same bucket are probable cosine neighbors.
+
+    The hyperplanes are literal columns (deterministic, no state to ship).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in planes[i]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: restrict the cosine scan to same-bucket candidates.
+
+    At 100 TB this is the shape that survives: bucket the corpus once
+    (write-time), bucket queries at read time, join on bucket — candidate
+    count drops ~2^n_planes-fold vs brute force.
+    Output: (query_id, neighbor_id, rank, cos) — approximate recall.
+    """
+    eb = hyperplane_lsh_buckets(embeddings, dim, n_planes, id_col, vec_col, seed)
+    qb = hyperplane_lsh_buckets(queries, dim, n_planes, id_col, vec_col, seed)
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    e = eb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"), "bucket"
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("ev")) / (_norm(F.col("qv")) * _norm(F.col("ev"))), 6
+    )
+    scored = (
+        e.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
