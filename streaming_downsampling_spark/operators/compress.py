@@ -54,6 +54,14 @@ POINT_SCHEMA = StructType(
 )
 
 
+def _ts_us(series: pd.Series) -> np.ndarray:
+    """Timestamps → int64 microseconds, robust to ns/us units and tz."""
+    s = pd.to_datetime(series)
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+
 def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
     """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs."""
     v = values.view(np.uint64).astype(object)
@@ -74,7 +82,7 @@ def compress_chunks(
     def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [order_col, ts_col] if order_col and order_col in pdf else [ts_col]
         pdf = pdf.sort_values(cols, kind="stable")
-        ts_us = pdf[ts_col].astype("int64").to_numpy()
+        ts_us = _ts_us(pdf[ts_col])
         vals = pdf[value_col].to_numpy(dtype=np.float64)
         tb, vb = G.encode_chunk(ts_us, vals)
         return pd.DataFrame(

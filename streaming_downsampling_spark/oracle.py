@@ -21,7 +21,10 @@ TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
 
 def to_pandas(tbl) -> pd.DataFrame:
     df = tbl.to_pandas()
-    df["ts_us"] = df["ts"].astype("int64")
+    s = pd.to_datetime(df["ts"])
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    df["ts_us"] = s.to_numpy(dtype="datetime64[us]").astype(np.int64)
     df["value"] = df["text"].str.len().astype("float64")
     return df
 

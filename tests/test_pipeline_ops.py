@@ -1,0 +1,165 @@
+"""Dedup / similarity / text / multimodal / compress operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_downsampling_spark.operators import dedup as D
+from streaming_downsampling_spark.operators import similarity as S
+from streaming_downsampling_spark.operators import text as T
+from streaming_downsampling_spark.operators.compress import (
+    compress_chunks,
+    decompress_chunks,
+)
+from streaming_downsampling_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "el gato y la casa de que la y el"),
+        (4, "completely different content about spark and data"),
+        (5, "der hund und die katze das ist gut und der"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 in ids and 1 not in ids  # min-id representative kept
+    dup_row = [r for r in out if r["doc_id"] == 0][0]
+    assert dup_row["n_copies"] == 2
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sig = D.minhash_signatures(docs, num_hashes=8).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r["signature"] for r in sig}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    # near-dup shares most minhashes
+    same = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    assert same >= 3
+
+
+def test_lsh_candidates_catch_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    cands = D.lsh_candidates(docs, num_hashes=8, bands=8)
+    out = D.ngram_jaccard_pairs(docs, cands).collect()
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    if (0, 1) in j:
+        assert j[(0, 1)] == 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    out = D.simhash(docs).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in out}
+    assert by_id[0] == by_id[1]
+    ham_near = bin(by_id[0] ^ by_id[2]).count("1")
+    ham_far = bin(by_id[0] ^ by_id[4]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    base[1] = base[0] * 2.0  # same direction as 0 → cosine 1
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(20, dtype=np.int64), "embedding": [v.tolist() for v in base]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk(spark, emb):
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["cos"] == 1.0
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_lsh_ann_finds_colinear(spark, emb):
+    out = S.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") == 0), dim=16, k=3, n_planes=4
+    ).collect()
+    # colinear vector is in the same bucket for any hyperplane set
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in out)
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = {r["doc_id"]: r for r in T.token_count(docs).collect()}
+    assert tc[0]["n_tokens"] == 9
+    q = {r["doc_id"]: r for r in T.quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["n_words"] == 9
+
+
+def test_lang_guess(spark, docs):
+    out = {r["doc_id"]: r["lang_guess"] for r in T.lang_guess(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[5] == "de"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp_md5"] for r in T.fingerprint(df).collect()}
+    assert out[0] == out[1] != out[2]
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=50)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 50
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(synth_media(spark, n=50), dim=8).collect()
+    a = {r["media_id"]: r["feature"] for r in feats}
+    b = {r["media_id"]: r["feature"] for r in feats2}
+    assert a == b
+    plan = frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+
+
+def test_compress_roundtrip_bitexact(spark, transcripts):
+    chunks = compress_chunks(transcripts, window="1 day")
+    pts = decompress_chunks(chunks)
+    got = pts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    exp = transcripts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    assert got["n"] == exp["n"]
+    # exact per-point equality: join decoded points back on (key, ts)
+    orig = transcripts.select(
+        F.col("conv_id").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    joined = pts.alias("a").join(
+        orig.alias("b"), ["key", "ts_us"], "inner"
+    )
+    n_match = joined.filter(F.col("a.value") == F.col("b.value")).count()
+    assert n_match == exp["n"]
+    # compression actually compresses
+    ratio = chunks.agg(
+        (F.sum("raw_bytes") / F.sum("enc_bytes")).alias("r")
+    ).collect()[0]["r"]
+    assert ratio > 1.2

@@ -1,0 +1,150 @@
+"""Warehouse snapshot semantics + streaming tier job with checkpoint resume."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_downsampling_spark.datagen import generate_transcripts
+from streaming_downsampling_spark.operators.rollup import rollup, with_signal
+from streaming_downsampling_spark.plans.lineage import LineageLog
+from streaming_downsampling_spark.sources.tables import Warehouse
+from streaming_downsampling_spark.streaming.jobs import run_tier_stream
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_overwrite_append_snapshots(spark, wh):
+    df1 = spark.range(5).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(5, 8).withColumn("v", F.col("id") * 2)
+    s1 = wh.overwrite("t", df1)
+    s2 = wh.append("t", df2)
+    assert wh.read("t").count() == 8
+    # time travel to the first snapshot
+    assert wh.read("t", snapshot_id=s1).count() == 5
+    snaps = wh.snapshots("t")
+    assert [s["id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent"] == s1
+
+
+def test_merge_upsert_idempotent(spark, wh):
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], ["key", "window_start", "v"]
+    )
+    wh.overwrite("t", base)
+    upd = spark.createDataFrame(
+        [("a", 1, 99.0), ("c", 1, 30.0)], ["key", "window_start", "v"]
+    )
+    wh.merge_upsert("t", upd, keys=["key", "window_start"])
+    first = sorted(wh.read("t").collect())
+    # replay the same batch — state must not change (exactly-once property)
+    wh.merge_upsert("t", upd, keys=["key", "window_start"])
+    second = sorted(wh.read("t").collect())
+    assert first == second
+    vals = {(r["key"]): r["v"] for r in first}
+    assert vals == {"a": 99.0, "b": 20.0, "c": 30.0}
+
+
+def test_expire_snapshots(spark, wh, tmp_path):
+    for i in range(4):
+        wh.append("t", spark.range(i, i + 1))
+    dropped = wh.expire_snapshots("t", keep_last=2)
+    assert len(dropped) == 2
+    assert wh.read("t").count() == 4  # current snapshot untouched
+    with pytest.raises(Exception):
+        wh.read("t", snapshot_id=dropped[0]).count()
+
+
+@pytest.fixture
+def stream_source(tmp_path):
+    """Transcript parquet split into time-ordered files (simulates arrival)."""
+    tbl = generate_transcripts(sf=0.2, seed=7)
+    idx = pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+    tbl = tbl.take(idx)
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    n = tbl.num_rows
+    step = n // 6 + 1
+    for i in range(0, n, step):
+        pq.write_table(tbl.slice(i, step), str(src / f"part-{i:06d}.parquet"))
+    return str(src), tbl
+
+
+def test_stream_matches_batch_and_resumes(spark, wh, tmp_path, stream_source):
+    src_dir, tbl = stream_source
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: only the first 3 files exist elsewhere? simpler: run on full dir
+    # in two AvailableNow passes with a kill between them — pass 1 processes
+    # some batches (maxFilesPerTrigger=2 → 3 batches), we then re-run with the
+    # same checkpoint; the second pass must not duplicate anything.
+    stats1 = run_tier_stream(
+        spark, src_dir, ckpt, wh, table="r1m", tier="1m",
+        watermark="3650 days", max_files_per_trigger=2,
+    )
+    assert stats1["batches"] >= 2
+    stats2 = run_tier_stream(
+        spark, src_dir, ckpt, wh, table="r1m", tier="1m",
+        watermark="3650 days", max_files_per_trigger=2,
+    )
+    # nothing new to process on resume
+    assert stats2["rows_merged"] == 0
+
+    got = (
+        wh.read("r1m")
+        .select("key", "window_start", "n_points", "sum_value", "min_value", "max_value")
+        .orderBy("key", "window_start")
+        .toPandas()
+    )
+    batch_df = with_signal(spark.createDataFrame(tbl.to_pandas()))
+    exp = (
+        rollup(batch_df, "1m")
+        .select("key", "window_start", "n_points", "sum_value", "min_value", "max_value")
+        .orderBy("key", "window_start")
+        .toPandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+    # lineage rows were recorded
+    lin = wh.read("lineage").toPandas()
+    assert (lin["table"] == "r1m").any()
+    met = wh.read("metrics").toPandas()
+    assert "late_rows_dropped" in set(met["name"])
+
+
+def test_stream_resume_after_new_data(spark, wh, tmp_path, stream_source):
+    """Files arriving between runs are picked up exactly once."""
+    src_dir, tbl = stream_source
+    files = sorted(glob.glob(f"{src_dir}/*.parquet"))
+    half_dir = tmp_path / "half_src"
+    os.makedirs(half_dir)
+    import shutil
+
+    for f in files[:3]:
+        shutil.copy(f, half_dir)
+    ckpt = str(tmp_path / "ckpt2")
+    run_tier_stream(
+        spark, str(half_dir), ckpt, wh, table="r1m_b", tier="1m",
+        watermark="3650 days",
+    )
+    for f in files[3:]:
+        shutil.copy(f, half_dir)
+    run_tier_stream(
+        spark, str(half_dir), ckpt, wh, table="r1m_b", tier="1m",
+        watermark="3650 days",
+    )
+    batch_df = with_signal(spark.createDataFrame(tbl.to_pandas()))
+    exp_n = rollup(batch_df, "1m").count()
+    assert wh.read("r1m_b").count() == exp_n
+    total_points = (
+        wh.read("r1m_b").agg(F.sum("n_points")).collect()[0][0]
+    )
+    assert total_points == tbl.num_rows
