@@ -180,6 +180,7 @@ def model_downsample(
     approx_ds_factor: int = 2,
     retention: float = 0.8,
     seed: int = 42,
+    max_seg: int = 200,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The reference *model* pipeline on one series, deterministic numpy:
 
@@ -192,7 +193,50 @@ def model_downsample(
     The learned transformer is replaced by a frozen deterministic attention
     scorer (see :func:`attention_importance`) — same selection semantics,
     no TF dependency.
+
+    Series longer than ``max_seg`` (default 200 — the reference's
+    ``original_length``, /root/reference/main.py:106) are processed in
+    segments and the outputs
+    concatenated (detail indices offset per segment).  The reference model
+    only ever sees fixed-length-200 inputs (it truncates/pads,
+    /root/reference/main.py:44-48), so segmentation preserves its semantics
+    while bounding the O(n²) attention — without it, one 100×-long skewed
+    conversation turns a window group into a multi-second, GB-scale kernel
+    call (the skew hazard SURVEY.md §7.3 flags).
     """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n <= max_seg:
+        return _model_downsample_seg(
+            x, wavelet, approx_ds_factor, retention, seed
+        )
+    pooled_all, sel_all, idx_all = [], [], []
+    cd_offset = 0
+    for a in range(0, n, max_seg):
+        seg = x[a : a + max_seg]
+        if len(seg) < 2:
+            break
+        pooled, sel, idx = _model_downsample_seg(
+            seg, wavelet, approx_ds_factor, retention, seed
+        )
+        pooled_all.append(pooled)
+        sel_all.append(sel)
+        idx_all.append(idx + cd_offset)
+        cd_offset += wv.coeff_length(len(seg), wavelet, 1)
+    return (
+        np.concatenate(pooled_all),
+        np.concatenate(sel_all),
+        np.concatenate(idx_all),
+    )
+
+
+def _model_downsample_seg(
+    x: np.ndarray,
+    wavelet: str,
+    approx_ds_factor: int,
+    retention: float,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     cA, cD = wv.dwt(x, wavelet)
     f = approx_ds_factor
     m = (len(cA) - f) // f + 1
@@ -202,6 +246,29 @@ def model_downsample(
     order = np.argsort(-scores, kind="stable")[:k]
     idx = np.sort(order)
     return pooled, cD[idx], idx
+
+
+_ATTN_WEIGHTS: dict[tuple, tuple] = {}
+
+
+def _attention_weights(embed_dim: int, num_heads: int, seed: int):
+    """Frozen attention weights, drawn once per (dim, heads, seed) — the
+    per-executor lazy singleton analog of the reference's ``_get_model()``
+    memoization (/root/reference/core/streaming_pipeline.py:229-257)."""
+    key = (embed_dim, num_heads, seed)
+    if key not in _ATTN_WEIGHTS:
+        rng = np.random.default_rng(seed)
+        d, dh = embed_dim, embed_dim // num_heads
+        w_in = rng.normal(0, 1.0 / np.sqrt(d), size=(1, d))
+        heads = [
+            (
+                rng.normal(0, 1.0 / np.sqrt(d), size=(d, dh)),
+                rng.normal(0, 1.0 / np.sqrt(d), size=(d, dh)),
+            )
+            for _ in range(num_heads)
+        ]
+        _ATTN_WEIGHTS[key] = (w_in, heads)
+    return _ATTN_WEIGHTS[key]
 
 
 def attention_importance(
@@ -220,7 +287,6 @@ def attention_importance(
     """
     c = np.asarray(c, dtype=np.float64)
     n = len(c)
-    rng = np.random.default_rng(seed)
     d = embed_dim
     # sinusoidal positional encoding + value embedding (ref :180-201)
     pos = np.arange(n)[:, None]
@@ -228,13 +294,11 @@ def attention_importance(
     pe = np.zeros((n, d))
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
-    w_in = rng.normal(0, 1.0 / np.sqrt(d), size=(1, d))
+    w_in, heads = _attention_weights(d, num_heads, seed)
     h = c[:, None] @ w_in + pe
-    dh = d // num_heads
     global_mass = np.zeros(n)
-    for head in range(num_heads):
-        wq = rng.normal(0, 1.0 / np.sqrt(d), size=(d, dh))
-        wk = rng.normal(0, 1.0 / np.sqrt(d), size=(d, dh))
+    dh = d // num_heads
+    for wq, wk in heads:
         q, kmat = h @ wq, h @ wk
         logits = (q @ kmat.T) / np.sqrt(dh)
         logits -= logits.max(axis=1, keepdims=True)

@@ -1,0 +1,100 @@
+"""Shared low-overhead grouped-map machinery.
+
+``groupBy(...).applyInPandas`` invokes Python once per group and builds a
+pandas DataFrame per group — fine for few large groups, ruinous for millions
+of small ones (per-group cost ~ms).  Every windowed kernel in this engine
+instead uses:
+
+    repartition(key, window) → sortWithinPartitions(key, window, order)
+    → mapInPandas(kernel)
+
+with numpy boundary-splitting inside each Arrow batch and a carry buffer for
+groups that straddle batch boundaries.  One shuffle, same semantics,
+per-group cost ~µs.  At 10^12 turns the group count is O(10^9); this pattern
+is the difference between hours and weeks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def sorted_group_map(
+    df: DataFrame,
+    window: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str | None,
+    frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """Run ``frame_fn`` over sorted frames whose rows never split a
+    (key, window) group.
+
+    The prepared frame has columns ``key`` (string), ``window_start``
+    (timestamp), ``_ts``, ``_value`` (double), ``_ord`` (long; == row index
+    fallback when ``order_col`` is None).  ``frame_fn`` receives a frame
+    sorted by (key, window_start, _ord, _ts) containing only whole groups.
+    """
+    w = F.window(ts_col, window)
+    cols = [
+        F.col(key_col).cast("string").alias("key"),
+        w["start"].alias("window_start"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_value"),
+        (
+            F.col(order_col).cast("long") if order_col else F.monotonically_increasing_id()
+        ).alias("_ord"),
+    ]
+    # explicit partition count: a bare repartition(cols) lets AQE coalesce a
+    # small shuffle down to one partition, serializing the Python kernel —
+    # observed 7.6s → 1.5s on the model kernel at sf0.1 with this fix
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    prepared = (
+        df.select(*cols)
+        .repartition(n_part, "key", "window_start")
+        .sortWithinPartitions("key", "window_start", "_ord", "_ts")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            lk = pdf["key"].iloc[-1]
+            lw = pdf["window_start"].iloc[-1]
+            tail = (pdf["key"] == lk) & (pdf["window_start"] == lw)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                out = frame_fn(body)
+                if len(out):
+                    yield out
+        if carry is not None and len(carry):
+            out = frame_fn(carry)
+            if len(out):
+                yield out
+
+    return prepared.mapInPandas(kernel, schema)
+
+
+def group_bounds(body: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Boundary indices of (key, window_start) runs in a sorted frame.
+
+    Returns (bounds, keys, window_starts) where groups are
+    ``body.iloc[bounds[i]:bounds[i+1]]``.
+    """
+    keys = body["key"].to_numpy()
+    ws = body["window_start"].to_numpy()
+    n = len(body)
+    change = np.flatnonzero((keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])) + 1
+    bounds = np.concatenate([[0], change, [n]])
+    return bounds, keys, ws

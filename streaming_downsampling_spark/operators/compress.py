@@ -1,9 +1,15 @@
 """Chunk compression operators: Gorilla/delta-of-delta chunks as a table.
 
 Maps each (key, window) group to one row holding the compressed blobs —
-the ``chunks`` retention-tier format from SURVEY.md §4.3.  Encode/decode are
-``applyInPandas`` / ``mapInPandas`` over bounded groups; blob columns are
+the ``chunks`` retention-tier format from SURVEY.md §4.3.  Blob columns are
 ``BinaryType`` so parquet stores them raw.
+
+Physical shape: ``repartition(key, window) → sortWithinPartitions →
+mapInPandas`` with cross-batch group carry, NOT ``applyInPandas`` — per-group
+Python invocation overhead (~ms) dwarfs the codec on small groups, and at
+100 TB the group count is enormous while each retention window stays small.
+One shuffle total; the kernel walks each sorted Arrow batch and emits one
+row per complete group.
 
 The reference has no compression (gzip'd JSON Kafka messages only,
 /root/reference/core/streaming_pipeline.py:172-180); this is the north-rule
@@ -64,9 +70,10 @@ def _ts_us(series: pd.Series) -> np.ndarray:
 
 def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
     """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs."""
+    mod = (1 << 63) - 1
     v = values.view(np.uint64).astype(object)
     t = ts_us.astype(object)
-    return int(sum((t * 1000003 + v) % ((1 << 63) - 1)) % ((1 << 63) - 1))
+    return int(sum((t * 1000003 + v) % mod) % mod)
 
 
 def compress_chunks(
@@ -78,32 +85,41 @@ def compress_chunks(
     order_col: str | None = "turn_idx",
 ) -> DataFrame:
     """Encode each (key, tumbling window) group into one Gorilla chunk row."""
+    from ._groupmap import sorted_group_map
 
-    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = [order_col, ts_col] if order_col and order_col in pdf else [ts_col]
-        pdf = pdf.sort_values(cols, kind="stable")
-        ts_us = _ts_us(pdf[ts_col])
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        tb, vb = G.encode_chunk(ts_us, vals)
-        return pd.DataFrame(
-            [
+    def encode_frame(body: pd.DataFrame) -> pd.DataFrame:
+        """Encode every (key, window) run in a sorted frame — numpy boundary
+        splits, no per-group pandas objects."""
+        keys = body["key"].to_numpy()
+        ws = body["window_start"].to_numpy()
+        ts_us = _ts_us(body["_ts"])
+        vals = body["_value"].to_numpy(dtype=np.float64)
+        n = len(body)
+        change = np.flatnonzero((keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])) + 1
+        bounds = np.concatenate([[0], change, [n]])
+        rows = []
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            t, v = ts_us[a:b], vals[a:b]
+            tb, vb = G.encode_chunk(t, v)
+            rows.append(
                 {
-                    "key": key_tuple[0],
-                    "window_start": key_tuple[1]["start"],
-                    "n_points": len(vals),
-                    "first_ts_us": int(ts_us[0]) if len(ts_us) else 0,
+                    "key": keys[a],
+                    "window_start": ws[a],
+                    "n_points": b - a,
+                    "first_ts_us": int(t[0]),
                     "ts_blob": tb,
                     "val_blob": vb,
-                    "checksum": _checksum(ts_us, vals),
-                    "raw_bytes": len(vals) * 16,
+                    "checksum": _checksum(t, v),
+                    "raw_bytes": (b - a) * 16,
                     "enc_bytes": len(tb) + len(vb),
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
-    return df.groupBy(
-        F.col(key_col).alias("key"), F.window(ts_col, window).alias("w")
-    ).applyInPandas(kernel, CHUNK_SCHEMA)
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, encode_frame, CHUNK_SCHEMA
+    )
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:

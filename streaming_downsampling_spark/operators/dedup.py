@@ -15,18 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# MinHash parameterization: k independent permutations approximated by
-# (a*h + b) mod p over a 64-bit base hash (standard universal hashing).
-_MERSENNE_P = (1 << 61) - 1
-
-
-def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
-    return list(zip(a.tolist(), b.tolist()))
+# MinHash permutations: the i-th hash function is xxhash64 with the index
+# prepended (seeded-domain-separation) — all-long JVM arithmetic; the
+# classic (a*h+b) mod p formulation needs 128-bit math, which forces slow
+# decimal(38,0) expressions in Spark.
 
 
 def exact_dedup(
@@ -68,19 +60,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: array of ``num_hashes`` min values.
 
-    ``min((a_i * xxhash64(shingle) + b_i) mod p)`` per doc — the standard
-    estimator for Jaccard similarity of shingle sets (Broder 1997).  Entirely
-    JVM-side expressions; map-side partial min aggregation.
+    ``min(xxhash64(i, shingle))`` per doc — the standard estimator for
+    Jaccard similarity of shingle sets (Broder 1997); per-index domain
+    separation stands in for independent permutations.  Entirely JVM-side
+    long arithmetic; map-side partial min aggregation.
     """
     sh = shingles(df, text_col, id_col, n=shingle_n)
-    base = F.xxhash64("shingle").cast("decimal(38,0)")
     aggs = [
-        F.min(
-            F.pmod(
-                base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)
-            ).cast("long")
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(

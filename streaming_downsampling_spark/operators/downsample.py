@@ -1,11 +1,14 @@
 """Windowed downsampling operators over (key, tumbling window) groups.
 
-Each operator is ``groupBy(key, window(ts, ...)).applyInPandas`` with an
-Arrow-batched kernel from :mod:`..functions.kernels` — whole-group numpy,
-never per-row Python (BASELINE.json input_hint).  The group is one retention
-window of one conversation, so group size is bounded by the window length,
-which is what keeps a 100 TB run safe: skewed long conversations widen the
-number of groups, not the size of any single group.
+Kernels from :mod:`..functions.kernels` run over whole groups as numpy —
+never per-row Python (BASELINE.json input_hint).  The physical shape is the
+shared ``sorted_group_map`` pattern (one shuffle, numpy boundary splits,
+~µs/group) rather than per-group ``applyInPandas`` — see
+:mod:`._groupmap` for why this matters at 10^12 turns.
+
+The group is one retention window of one conversation, so group size is
+bounded by the window length: skewed long conversations widen the number of
+groups, not the size of any single group.
 
 On a real cluster this module ships via ``spark-submit --py-files`` (zip of
 the package); in local mode the executor threads share the driver's
@@ -22,7 +25,7 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -35,6 +38,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import kernels as K
+from ._groupmap import group_bounds, sorted_group_map
 
 _SELECTORS: dict[str, Callable[..., np.ndarray]] = {
     "uniform": lambda x, t, **kw: K.uniform_indices(len(x), t),
@@ -87,17 +91,6 @@ MODEL_SCHEMA = StructType(
 )
 
 
-def _grouped(df: DataFrame, window: str, key_col: str, ts_col: str):
-    return df.groupBy(
-        F.col(key_col).alias("key"), F.window(ts_col, window).alias("w")
-    )
-
-
-def _sorted_group(pdf: pd.DataFrame, ts_col: str, order_col: str | None):
-    cols = [order_col, ts_col] if order_col and order_col in pdf else [ts_col]
-    return pdf.sort_values(cols, kind="stable").reset_index(drop=True)
-
-
 def downsample_select(
     df: DataFrame,
     method: str,
@@ -120,27 +113,37 @@ def downsample_select(
         raise ValueError(f"unknown method {method!r}; have {sorted(_SELECTORS)}")
     selector = _SELECTORS[method]
 
-    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _sorted_group(pdf, ts_col, order_col)
-        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
-        idx = selector(x, target, **kw)
+    def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
+        bounds, keys, ws = group_bounds(body)
+        vals = body["_value"].to_numpy(dtype=np.float64)
+        ords = body["_ord"].to_numpy()
+        tss = body["_ts"].to_numpy()
+        out_key, out_ws, out_pos, out_ord, out_ts, out_val = [], [], [], [], [], []
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            x = K.sanitize(vals[a:b])
+            idx = selector(x, target, **kw)
+            out_key.append(np.repeat(keys[a], len(idx)))
+            out_ws.append(np.repeat(ws[a], len(idx)))
+            out_pos.append(idx.astype(np.int32))
+            out_ord.append(ords[a:b][idx].astype(np.int64))
+            out_ts.append(tss[a:b][idx])
+            out_val.append(x[idx])
         return pd.DataFrame(
             {
-                "key": key_tuple[0],
-                "window_start": key_tuple[1]["start"],
-                "sel_pos": idx.astype(np.int32),
-                "sel_ord": (
-                    pdf[order_col].to_numpy()[idx].astype(np.int64)
-                    if order_col and order_col in pdf
-                    else idx.astype(np.int64)
-                ),
-                "sel_ts": pdf[ts_col].to_numpy()[idx],
-                "sel_value": x[idx],
+                "key": np.concatenate(out_key),
+                "window_start": np.concatenate(out_ws),
+                "sel_pos": np.concatenate(out_pos),
+                "sel_ord": np.concatenate(out_ord),
+                "sel_ts": np.concatenate(out_ts),
+                "sel_value": np.concatenate(out_val),
                 "method": method,
             }
         )
 
-    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, SELECT_SCHEMA)
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, frame_fn, SELECT_SCHEMA
+    )
 
 
 def downsample_metrics(
@@ -164,35 +167,44 @@ def downsample_metrics(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _sorted_group(pdf, ts_col, order_col)
-        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
-        n = len(x)
-        if selector is not None:
-            idx = selector(x, target, **kw)
-            rec = K.reconstruct_linear(idx, x[idx], n)
-            k = len(idx)
-        else:
-            pooled = K.avg_pool(x, target) if method == "avg_pool" else K.max_pool(x, target)
-            w = max(1, n // target)
-            centers = np.arange(len(pooled)) * w + (w - 1) / 2.0
-            rec = np.interp(np.arange(n, dtype=np.float64), centers, pooled)
-            k = len(pooled)
-        m = K.reconstruction_metrics(x, rec)
-        return pd.DataFrame(
-            [
+    def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
+        bounds, keys, ws = group_bounds(body)
+        vals = body["_value"].to_numpy(dtype=np.float64)
+        rows = []
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            x = K.sanitize(vals[a:b])
+            n = len(x)
+            if selector is not None:
+                idx = selector(x, target, **kw)
+                rec = K.reconstruct_linear(idx, x[idx], n)
+                k = len(idx)
+            else:
+                pooled = (
+                    K.avg_pool(x, target)
+                    if method == "avg_pool"
+                    else K.max_pool(x, target)
+                )
+                w = max(1, n // target)
+                centers = np.arange(len(pooled)) * w + (w - 1) / 2.0
+                rec = np.interp(np.arange(n, dtype=np.float64), centers, pooled)
+                k = len(pooled)
+            m = K.reconstruction_metrics(x, rec)
+            rows.append(
                 {
-                    "key": key_tuple[0],
-                    "window_start": key_tuple[1]["start"],
+                    "key": keys[a],
+                    "window_start": ws[a],
                     "method": method,
                     "n": n,
                     "k": k,
                     **m,
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
-    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, METRICS_SCHEMA)
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, frame_fn, METRICS_SCHEMA
+    )
 
 
 def downsample_model(
@@ -211,27 +223,32 @@ def downsample_model(
     attention-selected detail coefficients
     (/root/reference/core/downsampling_algorithm2.py:279-339)."""
 
-    def kernel(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _sorted_group(pdf, ts_col, order_col)
-        x = K.sanitize(pdf[value_col].to_numpy(dtype=np.float64))
-        pooled, sel, idx = K.model_downsample(
-            x,
-            wavelet=wavelet,
-            approx_ds_factor=approx_ds_factor,
-            retention=retention,
-            seed=seed,
-        )
-        return pd.DataFrame(
-            [
+    def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
+        bounds, keys, ws = group_bounds(body)
+        vals = body["_value"].to_numpy(dtype=np.float64)
+        rows = []
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            x = K.sanitize(vals[a:b])
+            pooled, sel, idx = K.model_downsample(
+                x,
+                wavelet=wavelet,
+                approx_ds_factor=approx_ds_factor,
+                retention=retention,
+                seed=seed,
+            )
+            rows.append(
                 {
-                    "key": key_tuple[0],
-                    "window_start": key_tuple[1]["start"],
+                    "key": keys[a],
+                    "window_start": ws[a],
                     "n": len(x),
                     "pooled_approx": pooled.tolist(),
                     "detail_values": sel.tolist(),
                     "detail_indices": idx.astype(np.int32).tolist(),
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
-    return _grouped(df, window, key_col, ts_col).applyInPandas(kernel, MODEL_SCHEMA)
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, frame_fn, MODEL_SCHEMA
+    )
