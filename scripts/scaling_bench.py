@@ -1,0 +1,213 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+The rule requires the same job at N and 4N executors with throughput scaling
+efficiency >= 0.8.  No real cluster exists in this sandbox, so (per the
+driver instruction) we run the identical transcript pipeline at two
+parallelism levels — ``local[N]`` and ``local[4N]`` — on the same input and
+report throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+**Why N=2 (so 4N=8) by default:** the sandbox VM advertises 32 CPUs but its
+aggregate compute throughput saturates at ~8 busy cores — measured with
+plain numpy worker processes (no Spark): 1/2/8/16/32 procs →
+103/193/662/756/882 work-units/s, i.e. the *hardware* scales 8→32 at only
+0.33 efficiency.  Above 8 cores any job measures host saturation, not the
+engine.  The script calibrates raw-CPU scaling for the chosen (N, 4N) pair
+alongside the engine run, so the report shows the engine's efficiency
+against the hardware's own ceiling.
+
+**Why paired interleaved runs:** the sandbox shares a host and identical
+runs vary up to ~3x over minutes.  Each "pair" measures BOTH levels
+back-to-back in one subprocess (fresh JVM per level, warm-up excluded),
+order alternating across pairs; the reported efficiency is the median of
+per-pair throughput ratios, which cancels slow host drift.
+
+Usage:  python scripts/scaling_bench.py [N] [sf] [pairs] [--update-baseline]
+Defaults: N=2, sf=100 (~2M turns), pairs=5.
+Prints one JSON line; with --update-baseline rewrites the scaling section of
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PAIR_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import importlib
+bench = importlib.import_module("bench")
+from streaming_downsampling_spark.session import get_spark
+out = {{}}
+for cpus in {order}:
+    spark = get_spark(app_name="scaling-%d" % cpus, cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JIT + Python worker pool spin-up, excluded from measurement
+    bench.transcript_pipeline(spark, 2.0)
+    n_turns, elapsed = bench.transcript_pipeline(spark, {sf})
+    spark.stop()
+    out[str(cpus)] = elapsed
+    out["turns"] = n_turns
+print(json.dumps(out))
+"""
+
+
+def run_pair(n: int, sf: float, flip: bool) -> dict:
+    """One interleaved pair: both levels measured back-to-back in a single
+    subprocess (each level gets its own SparkSession, warm-up excluded),
+    order alternating across pairs so slow host drift cancels in the
+    per-pair ratio.  Note: consecutive SparkSessions in one process share
+    the JVM, so the *second* level's ``local[k]`` threads are set by the
+    first ``master`` — to avoid that, each level runs in its own
+    sub-subprocess here."""
+    order = [4 * n, n] if flip else [n, 4 * n]
+    result: dict = {}
+    for cpus in order:
+        code = _PAIR_CHILD.format(repo=REPO, order=[cpus], sf=sf)
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        result.update(json.loads(line))
+    return result
+
+
+def calibrate_cpu(procs: int, seconds: float = 5.0) -> float:
+    """Aggregate numpy work-units/s with ``procs`` independent processes —
+    the hardware's own scaling ceiling, no Spark involved."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(procs, initializer=_pin_blas) as p:
+        res = p.starmap(_cpu_work, [(seconds,)] * procs)
+    return sum(res) / seconds
+
+
+def _pin_blas() -> None:
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+
+
+def _cpu_work(seconds: float) -> int:
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(300, 40, 16))
+    t_end = time.time() + seconds
+    n = 0
+    while time.time() < t_end:
+        Y = X @ X.transpose(0, 2, 1)
+        np.exp(Y - Y.max(axis=2, keepdims=True))
+        n += 1
+    return n
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 2
+    sf = float(args[1]) if len(args) > 1 else 100.0
+    pairs = int(args[2]) if len(args) > 2 else 5
+    cpu_lo = calibrate_cpu(n)
+    cpu_hi = calibrate_cpu(4 * n)
+    hw_eff = (cpu_hi / cpu_lo) / 4.0
+    runs = []
+    for i in range(pairs):
+        runs.append(run_pair(n, sf, flip=bool(i % 2)))
+    turns = runs[0]["turns"]
+    lo_secs = [r[str(n)] for r in runs]
+    hi_secs = [r[str(4 * n)] for r in runs]
+    ratios = [r[str(n)] / r[str(4 * n)] for r in runs]
+    speedup = median(ratios)
+    eff = speedup / 4.0
+    lo_sec, hi_sec = median(lo_secs), median(hi_secs)
+    result = {
+        "job": "transcript_pipeline (tiers + gapfill + model downsample + gorilla)",
+        "sf": sf,
+        "pairs": pairs,
+        "turns": turns,
+        f"local[{n}]": {
+            "median_sec": round(lo_sec, 2),
+            "all_secs": [round(s, 2) for s in lo_secs],
+            "turns_per_sec": round(turns / lo_sec, 1),
+        },
+        f"local[{4 * n}]": {
+            "median_sec": round(hi_sec, 2),
+            "all_secs": [round(s, 2) for s in hi_secs],
+            "turns_per_sec": round(turns / hi_sec, 1),
+        },
+        "per_pair_speedups": [round(x, 3) for x in ratios],
+        "speedup_median": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+        "hw_cpu_units_per_sec": {str(n): round(cpu_lo, 1), str(4 * n): round(cpu_hi, 1)},
+        "hw_scaling_efficiency": round(hw_eff, 3),
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        update_bench_md(result, n)
+
+
+def update_bench_md(r: dict, n: int) -> None:
+    path = os.path.join(REPO, "BENCH.md")
+    lo, hi = r[f"local[{n}]"], r[f"local[{4 * n}]"]
+    section = f"""## Scaling evidence (N vs 4N, north-rule criterion)
+
+Same job, same input ({r['turns']:,} turns, transcript sf={r['sf']}); {r['pairs']}
+interleaved pairs, each measuring both levels back-to-back (fresh JVM per
+level, one warm-up pass excluded) with order alternating across pairs — the
+sandbox shares a host and identical runs vary ~3x over minutes, so the
+efficiency below is the **median of per-pair throughput ratios**, which
+cancels slow host drift:
+
+| cluster size proxy | median wall sec | all runs | turns/sec |
+|---|---|---|---|
+| `local[{n}]` (N) | {lo['median_sec']} | {lo['all_secs']} | {lo['turns_per_sec']:,} |
+| `local[{4 * n}]` (4N) | {hi['median_sec']} | {hi['all_secs']} | {hi['turns_per_sec']:,} |
+
+Per-pair speedups: {r['per_pair_speedups']} → median {r['speedup_median']}x over a
+4x core increase → **scaling efficiency {r['scaling_efficiency']}**
+({'meets' if r['meets_0.8'] else 'MISSES'} the >= 0.8 criterion).
+
+Hardware context: this VM advertises 32 CPUs but raw numpy-process
+throughput saturates near 8 busy cores (1/2/8/16/32 procs →
+103/193/662/756/882 work-units/s measured once; this run's calibration for
+{n} vs {4 * n} procs: {r['hw_cpu_units_per_sec'][str(n)]} vs
+{r['hw_cpu_units_per_sec'][str(4 * n)]} units/s = hardware efficiency
+{r['hw_scaling_efficiency']}).  The N→4N pair is chosen inside the range
+where the hardware itself scales; above ~8 busy cores a measurement
+reflects host saturation, not the engine.
+
+Job under test: `bench.transcript_pipeline` — deterministic synthetic
+transcripts → per-turn signal → 1m→1h→1d tier cascade → linear gap-fill →
+DWT+attention model downsample → Gorilla/delta-of-delta chunk compression,
+all materialized in one action (independent stages schedule concurrently).
+Reproduce: `python scripts/scaling_bench.py {n} {r['sf']} {r['pairs']} --update-baseline`.
+"""
+    marker = "## Scaling evidence"
+    text = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+    if marker in text:
+        head = text.split(marker)[0]
+        text = head + section
+    else:
+        text = (text + "\n" if text else "# BENCH — engine measurements\n\n") + section
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

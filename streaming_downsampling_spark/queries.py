@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as T
+from .operators.asof import asof_join
 from .operators.compress import compress_chunks, decompress_chunks
-from .operators.downsample import downsample_metrics, downsample_model
+from .operators.downsample import downsample_metrics, downsample_model, downsample_select
 from .operators.gapfill import gapfill
 from .operators.multimodal import extract_features, synth_media
 from .operators.rollup import cascade, rollup
@@ -414,6 +415,71 @@ FROM events GROUP BY 1
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each event enriched with the most recent *completed*
+    hour's average for its type (backward as-of on the hour's end time;
+    events in a type's first hour get nulls).  One shuffle union-sort —
+    no range cross-join."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup(
+        ev, "1h", key_col="event_type", ts_col="ts", value_col="value", order_col=None
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("window_end").alias("h_end"),
+        _avg6("sum_value", "n_points").alias("prev_hour_avg"),
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        hourly,
+        key_col="event_type",
+        left_ts="ts",
+        right_ts="h_end",
+        right_cols=["prev_hour_avg"],
+        suffix="",
+    )
+    return out.select("event_id", "event_type", "prev_hour_avg", F.col("h_end"))
+
+
+SQL_ASOF = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS h_end,
+         round(round(sum(value) * 100) / count(*) / 100.0, 6) AS prev_hour_avg
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, e.event_type, h.prev_hour_avg, h.h_end
+FROM events e ASOF LEFT JOIN hourly h
+  ON e.event_type = h.event_type AND e.ts >= h.h_end
+"""
+
+
+def q_lttb_select(spark, sf_dir):
+    """W3: LTTB point selection per (event_type, day) — Spark-only check for
+    the kernel also exercised (with an error oracle) in the bench query."""
+    ev = _t(spark, sf_dir, "events")
+    return downsample_select(
+        ev, "lttb", 20, window="1 day", key_col="event_type",
+        ts_col="ts", value_col="value", order_col="event_id",
+    )
+
+
+def q_pip_select(spark, sf_dir):
+    """W4: Perceptually-Important-Points selection per (event_type, day)."""
+    ev = _t(spark, sf_dir, "events")
+    return downsample_select(
+        ev, "pip", 12, window="1 day", key_col="event_type",
+        ts_col="ts", value_col="value", order_col="event_id",
+    )
+
+
+def q_random_sample(spark, sf_dir):
+    """W6: seeded random sampling per (event_type, day), sorted indices."""
+    ev = _t(spark, sf_dir, "events")
+    return downsample_select(
+        ev, "random", 20, window="1 day", key_col="event_type",
+        ts_col="ts", value_col="value", order_col="event_id", seed=7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational shell (TPC-H-ish) over lineitem/orders/customer/nation/region
 # ---------------------------------------------------------------------------
@@ -475,6 +541,63 @@ SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_brand_revenue(spark, sf_dir):
+    """lineitem ⋈ part (broadcast dim) → revenue per brand.  The part table
+    is small at any SF relative to lineitem — broadcast avoids shuffling the
+    fact table on l_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_supplier_volume(spark, sf_dir):
+    """lineitem ⋈ supplier ⋈ nation (both broadcast) → volume per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
 """
 
 
@@ -668,7 +791,7 @@ def q_downsample_error_bench(spark, sf_dir):
     new_evaluation harness as one distributed query)."""
     ev = _t(spark, sf_dir, "events")
     outs = []
-    for m in ["uniform", "minmax", "lttb", "wavelet_threshold"]:
+    for m in ["uniform", "minmax", "lttb", "wavelet_threshold", "avg_pool", "max_pool"]:
         outs.append(
             downsample_metrics(
                 ev, m, 20, window="1 day", key_col="event_type",
@@ -712,9 +835,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_daily": q_minmax_daily,
     "sanitize_agg": q_sanitize_agg,
     "gorilla_roundtrip": q_gorilla_roundtrip,
+    "asof_enrich": q_asof_enrich,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "customers_per_region": q_customers_per_region,
+    "brand_revenue": q_brand_revenue,
+    "supplier_volume": q_supplier_volume,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -722,6 +848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     # Spark-only (rows-only correctness check)
+    "lttb_select": q_lttb_select,
+    "pip_select": q_pip_select,
+    "random_sample": q_random_sample,
     "minhash_lsh": q_minhash_lsh,
     "simhash_nn": q_simhash_nn,
     "ngram_jaccard": q_ngram_jaccard,
@@ -744,9 +873,12 @@ ORACLES: dict[str, str] = {
     "minmax_daily": SQL_MINMAX,
     "sanitize_agg": SQL_SANITIZE,
     "gorilla_roundtrip": SQL_GORILLA,
+    "asof_enrich": SQL_ASOF,
     "pricing_summary": SQL_PRICING,
     "top_revenue_orders": SQL_TOP_REVENUE,
     "customers_per_region": SQL_CUSTOMERS_REGION,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
