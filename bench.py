@@ -44,7 +44,16 @@ HEADLINE = [
 def transcript_pipeline(spark, sf: float) -> tuple[int, float]:
     """The north-rule workload: transcripts → signal → 1m/1h/1d tiers →
     gap-fill → model downsample → compressed chunks.  Returns
-    (n_turns, elapsed_sec)."""
+    (n_turns, elapsed_sec).
+
+    All four branches materialize in ONE action (a union of one-row branch
+    summaries): independent stages schedule concurrently, so the job is
+    bounded by compute, not by four sequential job latencies — the shape a
+    real cluster run would use.  The cached input is repartitioned to
+    2×cores first; the synthetic generator writes one parquet file, and
+    without the explicit spread every downstream map stage would inherit its
+    ~3 scan splits regardless of cluster size.
+    """
     import pyspark.sql.functions as F
 
     from streaming_downsampling_spark.datagen import transcripts_df
@@ -57,23 +66,40 @@ def transcript_pipeline(spark, sf: float) -> tuple[int, float]:
         with_signal,
     )
 
+    cores = spark.sparkContext.defaultParallelism
     df = with_signal(transcripts_df(spark, sf=sf))
+    # prune to the pipeline's columns BEFORE caching: `text` is ~85% of the
+    # bytes and no branch reads it (value = length(text) is materialized) —
+    # caching it would turn every branch's cache scan memory-bandwidth-bound
+    df = df.select("conv_id", "turn_idx", "ts", "value").repartition(2 * cores)
     df = df.persist()
     n_turns = df.count()
     t0 = time.time()
     r1m = rollup(df, "1m")
     r1h = cascade(r1m, "1h")
     r1d = cascade(r1h, "1d")
-    # single pass: count() materializes each tier
-    agg = r1d.agg(F.sum("n_points")).collect()
-    gapfill(r1h, "1h", method="linear").agg(F.count(F.lit(1))).collect()
-    downsample_model(df, window="1 day").agg(F.count(F.lit(1))).collect()
-    compress_chunks(df, window="1 day").agg(
-        F.sum("enc_bytes"), F.sum("raw_bytes")
-    ).collect()
+    branches = [
+        r1d.agg(F.sum("n_points").cast("double").alias("v")).select(
+            F.lit("tier_points").alias("phase"), "v"
+        ),
+        gapfill(r1h, "1h", method="linear")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("gapfill_rows").alias("phase"), "v"),
+        downsample_model(df, window="1 day")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("model_windows").alias("phase"), "v"),
+        compress_chunks(df, window="1 day")
+        .agg(F.sum("enc_bytes").cast("double").alias("v"))
+        .select(F.lit("gorilla_bytes").alias("phase"), "v"),
+    ]
+    summary = branches[0]
+    for b in branches[1:]:
+        summary = summary.unionByName(b)
+    got = {r["phase"]: r["v"] for r in summary.collect()}
     elapsed = time.time() - t0
     df.unpersist()
-    assert agg[0][0] == n_turns
+    assert int(got["tier_points"]) == n_turns, got
+    assert got["model_windows"] > 0 and got["gorilla_bytes"] > 0, got
     return n_turns, elapsed
 
 
@@ -90,6 +116,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+
+    # warm-up: spin up the Python worker pool + Arrow/JIT paths once, so the
+    # measurements below are steady-state throughput, not process cold-start
+    transcript_pipeline(spark, 1.0)
 
     # 1. transcript pipeline throughput (transcript SF scaled off the dir SF)
     tr_sf = max(sf * 200, 1.0)  # sf0.1 -> ~200k turns

