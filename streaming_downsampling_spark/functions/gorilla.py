@@ -71,33 +71,99 @@ _DOD_BUCKETS = (
     (0b1110, 4, 12, -2047, 2048),
 )
 
+_U64 = np.uint64
+_ONE = _U64(1)
+
+
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (0 → 0)."""
+    n = np.zeros(x.shape, dtype=np.uint64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = y >= (_ONE << _U64(s))
+        n += big.astype(np.uint64) * _U64(s)
+        y = np.where(big, y >> _U64(s), y)
+    return n + (y > 0).astype(np.uint64)
+
+
+def _pack_segments(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack variable-width big-endian bit segments into bytes, vectorized.
+
+    Each segment is ``nbits[i]`` (1..64) low bits of ``vals[i]``, written
+    MSB-first back-to-back.  Works in uint64 words: every segment touches at
+    most two consecutive words, so packing is two ``bitwise_or.at`` scatters
+    over the whole array — no per-value Python.
+    """
+    vals = vals.astype(np.uint64, copy=False)
+    nbits = nbits.astype(np.uint64, copy=False)
+    keep = nbits > 0
+    if not keep.all():
+        vals, nbits = vals[keep], nbits[keep]
+    if len(vals) == 0:
+        return b""
+    end = np.cumsum(nbits)
+    start = end - nbits
+    total = int(end[-1])
+    words = np.zeros((total + 63) // 64 + 1, dtype=np.uint64)
+    w = (start >> _U64(6)).astype(np.int64)
+    off = (start & _U64(63)).astype(np.int64)
+    # mask values to nbits (nbits == 64 → full value)
+    mask = np.where(nbits == 64, ~_U64(0), (_ONE << nbits) - _ONE)
+    v = vals & mask
+    s = 64 - off - nbits.astype(np.int64)  # left-shift inside the first word
+    s_pos = np.maximum(s, 0).astype(np.uint64)
+    s_neg = np.maximum(-s, 0).astype(np.uint64)
+    hi = np.where(s >= 0, v << s_pos, v >> s_neg)
+    np.bitwise_or.at(words, w, hi)
+    spill = s < 0
+    if spill.any():
+        lo = v[spill] << (_U64(64) - s_neg[spill])
+        np.bitwise_or.at(words, w[spill] + 1, lo)
+    return words.byteswap().tobytes()[: (total + 7) // 8]
+
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode int64 timestamps (µs)."""
+    """Delta-of-delta encode int64 timestamps (µs) — fully vectorized.
+
+    Same bit format the scalar reference implementation wrote (and
+    :func:`decode_timestamps` reads); control+payload for each in-range
+    bucket is emitted as one fused segment, out-of-range delta-of-deltas as
+    a 4-bit control segment plus a 64-bit raw segment.
+    """
     ts = np.asarray(ts, dtype=np.int64)
-    w = _BitWriter()
-    w.write(len(ts), 32)
-    if len(ts) == 0:
-        return w.getvalue()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
-    if len(ts) == 1:
-        return w.getvalue()
-    deltas = np.diff(ts)
-    w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
+    n = len(ts)
+    head_v = [np.uint64(n)]
+    head_b = [np.uint64(32)]
+    if n >= 1:
+        head_v.append(ts[0].astype(np.uint64) if hasattr(ts[0], "astype") else np.uint64(ts[0] % (1 << 64)))
+        head_b.append(np.uint64(64))
+    if n >= 2:
+        deltas = np.diff(ts)
+        head_v.append(deltas[0].astype(np.uint64))
+        head_b.append(np.uint64(64))
+    if n <= 2:
+        return _pack_segments(np.array(head_v, dtype=np.uint64), np.array(head_b, dtype=np.uint64))
     dods = np.diff(deltas)
-    for dod in dods.tolist():
-        if dod == 0:
-            w.write(0, 1)
-            continue
-        for ctrl, cbits, pbits, lo, hi in _DOD_BUCKETS:
-            if lo <= dod <= hi:
-                w.write(ctrl, cbits)
-                w.write(dod - lo, pbits)
-                break
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & ((1 << 64) - 1), 64)
-    return w.getvalue()
+    m = len(dods)
+    seg_v = np.zeros((m, 2), dtype=np.uint64)
+    seg_b = np.zeros((m, 2), dtype=np.uint64)
+    done = dods == 0
+    seg_b[done, 0] = 1  # control '0', value 0
+    for ctrl, cbits, pbits, lo, hi in _DOD_BUCKETS:
+        sel = (~done) & (dods >= lo) & (dods <= hi)
+        seg_v[sel, 0] = (np.uint64(ctrl) << np.uint64(pbits)) | (
+            (dods[sel] - lo).astype(np.uint64)
+        )
+        seg_b[sel, 0] = cbits + pbits
+        done |= sel
+    big = ~done
+    seg_v[big, 0] = 0b1111
+    seg_b[big, 0] = 4
+    seg_v[big, 1] = dods[big].astype(np.uint64)
+    seg_b[big, 1] = 64
+    vals = np.concatenate([np.array(head_v, dtype=np.uint64), seg_v.ravel()])
+    bits = np.concatenate([np.array(head_b, dtype=np.uint64), seg_b.ravel()])
+    return _pack_segments(vals, bits)
 
 
 def decode_timestamps(blob: bytes) -> np.ndarray:
@@ -132,45 +198,52 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
 
 
 def encode_values(values: np.ndarray) -> bytes:
-    """Gorilla XOR-encode float64 values (§4.1.2).
+    """Gorilla XOR-encode float64 values (§4.1.2) — fully vectorized.
 
-    Leading/trailing-zero counts are precomputed vectorized; the control-bit
-    stream is sequential by construction.
+    Every non-zero XOR is written as a '11' (new-window) record: 2-bit
+    control, 5-bit leading-zero count, 6-bit significant-length-minus-one,
+    then the significant bits.  The paper's '10' (reuse previous window)
+    record trades those 11 header bits for a sequential dependency between
+    values; dropping it keeps the stream decodable by the same reader
+    (:func:`decode_values` handles both controls) while making encode a
+    handful of whole-array numpy ops — ~20x faster, which matters at 10^12
+    points.  Zero XORs still cost 1 bit, so constant runs compress the same.
     """
-    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    w = _BitWriter()
-    w.write(len(bits), 32)
-    if len(bits) == 0:
-        return w.getvalue()
-    w.write(int(bits[0]), 64)
-    if len(bits) == 1:
-        return w.getvalue()
+    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    head_v = [np.uint64(n)]
+    head_b = [np.uint64(32)]
+    if n >= 1:
+        head_v.append(bits[0])
+        head_b.append(np.uint64(64))
+    if n <= 1:
+        return _pack_segments(
+            np.array(head_v, dtype=np.uint64), np.array(head_b, dtype=np.uint64)
+        )
     xors = bits[1:] ^ bits[:-1]
-    xl = xors.tolist()
-    prev_lead, prev_trail = -1, -1
-    for x in xl:
-        if x == 0:
-            w.write(0, 1)
-            continue
-        lead = 64 - x.bit_length()
-        if lead > 31:  # 5-bit leading-zeros field caps at 31 (paper)
-            lead = 31
-        trail = (x & -x).bit_length() - 1
-        sig = 64 - lead - trail
-        if (
-            prev_lead >= 0
-            and lead >= prev_lead
-            and trail >= prev_trail
-        ):
-            w.write(0b10, 2)
-            w.write(x >> prev_trail, 64 - prev_lead - prev_trail)
-        else:
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(sig - 1, 6)  # store sig-1 so 64 fits in 6 bits
-            w.write(x >> trail, sig)
-            prev_lead, prev_trail = lead, trail
-    return w.getvalue()
+    m = len(xors)
+    nz = xors != 0
+    lead = np.minimum(_U64(64) - _bitlen64(xors), _U64(31))
+    trail = np.where(nz, _bitlen64(xors & (~xors + _ONE)) - _ONE, _U64(0))
+    sig = _U64(64) - lead - trail
+    payload = xors >> trail
+    header = (
+        (_U64(0b11) << _U64(11)) | (lead << _U64(6)) | (sig - _ONE)
+    )  # 13 bits
+    seg_v = np.zeros((m, 2), dtype=np.uint64)
+    seg_b = np.zeros((m, 2), dtype=np.uint64)
+    seg_b[~nz, 0] = 1  # control '0'
+    fused = nz & (sig <= 51)  # 13 + sig <= 64: header and payload in one word
+    seg_v[fused, 0] = (header[fused] << sig[fused]) | payload[fused]
+    seg_b[fused, 0] = _U64(13) + sig[fused]
+    split = nz & ~fused
+    seg_v[split, 0] = header[split]
+    seg_b[split, 0] = 13
+    seg_v[split, 1] = payload[split]
+    seg_b[split, 1] = sig[split]
+    vals = np.concatenate([np.array(head_v, dtype=np.uint64), seg_v.ravel()])
+    nbits = np.concatenate([np.array(head_b, dtype=np.uint64), seg_b.ravel()])
+    return _pack_segments(vals, nbits)
 
 
 def decode_values(blob: bytes) -> np.ndarray:

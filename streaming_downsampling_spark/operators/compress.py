@@ -68,12 +68,39 @@ def _ts_us(series: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
 
 
+_MOD = np.uint64((1 << 63) - 1)
+
+
+def _fold63(x: np.ndarray) -> np.ndarray:
+    """x mod (2^63 - 1) for uint64 inputs, branch-free Mersenne fold."""
+    y = (x & _MOD) + (x >> np.uint64(63))
+    return (y & _MOD) + (y >> np.uint64(63))
+
+
 def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
-    """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs."""
-    mod = (1 << 63) - 1
-    v = values.view(np.uint64).astype(object)
-    t = ts_us.astype(object)
-    return int(sum((t * 1000003 + v) % mod) % mod)
+    """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs.
+
+    Computes ``sum((t * 1000003 + v) mod (2^63-1)) mod (2^63-1)`` entirely in
+    uint64 numpy: the multiply is split 32/32 so every intermediate fits, and
+    p = 2^63-1 is Mersenne so reduction is a shift-add fold.
+    """
+    v = _fold63(np.ascontiguousarray(values, dtype=np.float64).view(np.uint64))
+    t = np.asarray(ts_us).astype(np.uint64)
+    k = np.uint64(1000003)
+    hi = (t >> np.uint64(32)) * k          # < 2^52
+    lo = (t & np.uint64(0xFFFFFFFF)) * k   # < 2^52
+    # (hi * 2^32) mod p: shift the folded hi by 32 with wraparound at bit 63
+    hi = _fold63(hi)
+    hi32 = _fold63(((hi << np.uint64(32)) & _MOD) + (hi >> np.uint64(31)))
+    term = _fold63(_fold63(hi32 + _fold63(lo)) + v)
+    # tree reduction: each pairwise sum of two <2^63 terms fits uint64, then
+    # folds back under 2^63 — exact mod-p sum in log2(n) vectorized passes
+    while len(term) > 1:
+        if len(term) % 2:
+            term = np.concatenate([term, np.zeros(1, dtype=np.uint64)])
+        term = _fold63(term[0::2] + term[1::2])
+    out = int(term[0]) if len(term) else 0
+    return out % int(_MOD)
 
 
 def compress_chunks(
