@@ -729,6 +729,45 @@ def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label: the scale-correct
+    shape (block → within-block pairs → threshold), never an unblocked
+    cross join.  Deterministic output: (id_a < id_b, cos rounded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        S._dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (S._norm(F.col("a.embedding")) * S._norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos",
+        )
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
 SQL_COSINE_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 e AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -847,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_guess": q_lang_guess,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     # Spark-only (rows-only correctness check)
     "lttb_select": q_lttb_select,
     "pip_select": q_pip_select,
@@ -885,4 +925,5 @@ ORACLES: dict[str, str] = {
     "lang_guess": _sql_lang_guess(),
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }
