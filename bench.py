@@ -30,6 +30,7 @@ HEADLINE = [
     "haar_threshold",
     "cumshare_select",
     "gorilla_roundtrip",
+    "asof_enrich",
     "model_downsample",
     "downsample_error_bench",
     "pricing_summary",
