@@ -9,21 +9,30 @@ greatest ``right_ts <= left_ts`` for the same key.
 Physical shape — the union-sort trick, ONE shuffle, no range cross-join:
 
     tag(left) ∪ tag(right)
-      → window last(right_val, ignorenulls) over
+      → window last(right_row_struct, ignorenulls) over
           (partition by key order by ts, is_right desc
            rows unbounded preceding .. current row)
-      → filter left rows
+      → filter left rows → unpack struct fields
+
+The matched right row is carried as ONE nullable struct, so the whole row
+matches atomically: a matched row whose payload column is NULL yields NULL
+(exactly like pandas ``merge_asof`` / DuckDB ASOF), instead of skipping back
+to a stale older row — and all output columns always come from the same
+right row (no torn rows).
 
 Right rows at an equal timestamp sort *before* left rows, so the match is
-inclusive (``right_ts <= left_ts``), same as DuckDB/pandas ``merge_asof``
-backward.  At scale this is a single hash shuffle on the key plus an
-in-partition sort — no point-in-interval explosion, skew bounded by the
-hottest key (salt upstream if one key dominates).
+inclusive (``right_ts <= left_ts``).  If several right rows share (key, ts)
+the winner among them is not defined — deduplicate the right side first.
+At scale this is a single hash shuffle on the key plus an in-partition
+sort — no point-in-interval explosion, skew bounded by the hottest key
+(salt upstream if one key dominates).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+_TS_FIELD = "__rts"
 
 
 def asof_join(
@@ -41,36 +50,60 @@ def asof_join(
     ``<right_ts><suffix>`` (the matched right timestamp), from the latest
     right row with ``right_ts <= left_ts`` on the same ``key_col``; nulls
     when no right row precedes the left row.
+
+    Raises ``ValueError`` when an output or internal working column would
+    collide with an existing left column.
     """
     lcols = left.columns
+    internal = {"_is_left", "_t", "_r"}
+    clash = internal & set(lcols)
+    if clash:
+        raise ValueError(f"left columns collide with asof internals: {sorted(clash)}")
+    if _TS_FIELD in right_cols:
+        raise ValueError(f"right_cols may not contain reserved name {_TS_FIELD!r}")
+    out_names = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    dup = sorted({n for n in out_names if n in lcols} | {n for n in out_names if out_names.count(n) > 1})
+    if dup:
+        raise ValueError(
+            f"asof output columns {dup} collide with left columns or each other; "
+            f"pass a different suffix"
+        )
+
+    # one nullable struct = the whole matched right row (atomic match)
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c != key_col
+        ],
+        F.col(key_col),
+        F.lit(0).alias("_is_left"),
+        F.col(right_ts).alias("_t"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias(_TS_FIELD)
+        ).alias("_r"),
+    ).select(*lcols, "_is_left", "_t", "_r")
+    r_type = r_tagged.schema["_r"].dataType
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_is_left"),
         F.col(left_ts).alias("_t"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key_col],
-        F.col(key_col),
-        F.lit(0).alias("_is_left"),
-        F.col(right_ts).alias("_t"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
-    ).select(*lcols, "_is_left", "_t", *[f"_r_{c}" for c in right_cols], "_r_ts")
     u = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        *lcols,
-        "_is_left",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    matched = u.select(
+        *lcols, "_is_left", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    return (
+        matched.filter(F.col("_is_left") == 1)
+        .select(
+            *lcols,
+            *[F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols],
+            F.col("_m")[_TS_FIELD].alias(f"{right_ts}{suffix}"),
+        )
+    )

@@ -85,7 +85,13 @@ def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
     p = 2^63-1 is Mersenne so reduction is a shift-add fold.
     """
     v = _fold63(np.ascontiguousarray(values, dtype=np.float64).view(np.uint64))
-    t = np.asarray(ts_us).astype(np.uint64)
+    ts_i = np.asarray(ts_us, dtype=np.int64)
+    t = ts_i.astype(np.uint64)
+    # pre-epoch timestamps: the uint64 view is ts + 2^64 ≡ ts + 2 (mod p),
+    # so subtract 2 mod p to recover the signed value's true residue
+    neg = ts_i < 0
+    if neg.any():
+        t = _fold63(_fold63(t) + np.where(neg, _MOD - np.uint64(2), np.uint64(0)))
     k = np.uint64(1000003)
     hi = (t >> np.uint64(32)) * k          # < 2^52
     lo = (t & np.uint64(0xFFFFFFFF)) * k   # < 2^52

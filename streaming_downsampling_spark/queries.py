@@ -817,11 +817,32 @@ def q_lsh_ann(spark, sf_dir):
 
 def q_model_downsample(spark, sf_dir):
     """The reference model pipeline (DWT + pooled approx + attention top-k)
-    per (event_type, day) over events — arrays out, non-SQL."""
+    per (event_type, day) over events — non-SQL (frozen attention scorer).
+
+    The operator emits array columns; the catalog query projects them to
+    deterministic scalars (lengths, rounded digests, endpoint values) so the
+    result is canonicalizable — the driver sorts rows by every column, and
+    array cells are unhashable there.
+    """
     ev = _t(spark, sf_dir, "events")
-    return downsample_model(
+    out = downsample_model(
         ev, window="1 day", key_col="event_type", ts_col="ts",
         value_col="value", order_col="event_id",
+    )
+    r6 = lambda c: F.transform(c, lambda v: F.round(v, 6))  # noqa: E731
+    return out.select(
+        "key",
+        "window_start",
+        "n",
+        F.size("pooled_approx").alias("n_pooled"),
+        F.size("detail_values").alias("n_detail"),
+        F.md5(F.to_json(r6("pooled_approx"))).alias("pooled_md5"),
+        F.md5(F.to_json(r6("detail_values"))).alias("detail_md5"),
+        F.md5(F.to_json("detail_indices")).alias("indices_md5"),
+        F.round(F.element_at("pooled_approx", 1), 6).alias("first_pooled"),
+        F.round(
+            F.aggregate("detail_values", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("detail_sum"),
     )
 
 

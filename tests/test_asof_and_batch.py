@@ -108,3 +108,75 @@ def test_asof_join_inclusive_tie(spark):
     ).toPandas()
     # right row at the exact same timestamp wins (inclusive backward match)
     assert got["rval_asof"].tolist() == [2.0]
+
+
+def test_asof_join_null_right_value_propagates(spark):
+    """ADVICE regression: a matched right row whose payload is NULL must
+    yield NULL (atomic row match), not fall back to a stale older row."""
+    left = pd.DataFrame({"k": ["a"], "lts": pd.to_datetime([3_000_000_000])})
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "rts": pd.to_datetime([1_000_000_000, 2_000_000_000]),
+            "rval": [7.0, None],
+        }
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key_col="k",
+        left_ts="lts",
+        right_ts="rts",
+        right_cols=["rval"],
+    ).toPandas()
+    # matched row is rts=2s (latest <= 3s); its NULL value must propagate,
+    # and the matched timestamp must agree with the matched row
+    assert pd.isna(got["rval_asof"].iloc[0])
+    assert got["rts_asof"].iloc[0] == pd.Timestamp(2_000_000_000)
+    # pandas oracle agrees
+    exp = pd.merge_asof(
+        left.sort_values("lts"), right.sort_values("rts"),
+        left_on="lts", right_on="rts", by="k", direction="backward",
+    )
+    assert pd.isna(exp["rval"].iloc[0])
+
+
+def test_asof_join_collision_guard(spark):
+    left = pd.DataFrame(
+        {"k": ["a"], "lts": pd.to_datetime([1]), "rval_asof": [1.0]}
+    )
+    right = pd.DataFrame(
+        {"k": ["a"], "rts": pd.to_datetime([1]), "rval": [1.0]}
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key_col="k", left_ts="lts", right_ts="rts", right_cols=["rval"],
+        )
+    # suffix="" shadowing a left column must raise, not silently shadow
+    left2 = pd.DataFrame(
+        {"k": ["a"], "lts": pd.to_datetime([1]), "rval": [9.0]}
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left2),
+            spark.createDataFrame(right),
+            key_col="k", left_ts="lts", right_ts="rts",
+            right_cols=["rval"], suffix="",
+        )
+
+
+def test_checksum_negative_timestamps_matches_python_int():
+    from streaming_downsampling_spark.operators.compress import _checksum
+
+    p = (1 << 63) - 1
+    rng = np.random.default_rng(5)
+    ts = rng.integers(-(10**15), 10**15, size=257).astype(np.int64)
+    vals = rng.normal(size=257)
+    # reference semantics: (t mod p * k + bits(v) mod p) mod p summed mod p
+    expected = 0
+    for t, v in zip(ts, vals):
+        bits = int(np.array(v, dtype=np.float64).view(np.uint64))
+        expected = (expected + (int(t) * 1000003 + bits) % p) % p
+    assert _checksum(ts, vals) == expected
