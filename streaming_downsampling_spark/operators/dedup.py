@@ -15,10 +15,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# MinHash permutations: the i-th hash function is xxhash64 with the index
-# prepended (seeded-domain-separation) — all-long JVM arithmetic; the
-# classic (a*h+b) mod p formulation needs 128-bit math, which forces slow
-# decimal(38,0) expressions in Spark.
+# MinHash permutations: the i-th hash function is a seeded-domain-separated
+# hash of the shingle — all-long JVM arithmetic; the classic (a*h+b) mod p
+# formulation needs 128-bit math, which forces slow decimal(38,0)
+# expressions in Spark.  Two hash families:
+#   * xxhash64 (default): fastest JVM-native path for production runs;
+#   * md5: first 15 hex chars of md5 as a 60-bit long — bit-identical
+#     reproducible in any engine with md5 (DuckDB: CAST('0x'||substr(md5(x),
+#     1,15) AS BIGINT)), which is what lets the correctness gate run the
+#     very same LSH pipeline as a SQL oracle.  Same operator shape either
+#     way; the hash family is a constant factor.
+
+
+def _md5_long(col):
+    """Portable 60-bit hash: first 15 hex chars of md5 as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_long(hash_fn: str, salt: str, col):
+    if hash_fn == "md5":
+        return _md5_long(F.concat(F.lit(f"{salt}|"), col))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(salt), col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; use 'xxhash64' or 'md5'")
 
 
 def exact_dedup(
@@ -42,7 +61,9 @@ def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Word n-gram shingles, exploded: (id, shingle)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
@@ -57,17 +78,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: array of ``num_hashes`` min values.
 
-    ``min(xxhash64(i, shingle))`` per doc — the standard estimator for
+    ``min(hash_i(shingle))`` per doc — the standard estimator for
     Jaccard similarity of shingle sets (Broder 1997); per-index domain
     separation stands in for independent permutations.  Entirely JVM-side
-    long arithmetic; map-side partial min aggregation.
+    expressions; map-side partial min aggregation.
     """
     sh = shingles(df, text_col, id_col, n=shingle_n)
     aggs = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(_hash_long(hash_fn, str(seed + i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -84,20 +106,29 @@ def lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct.  Bucket join only —
-    no cross join; skewed buckets are bounded by the band-hash space.
+    no cross join; skewed buckets are bounded by the band-hash space.  The
+    bucket key is the band's signature slice rendered as a string (engine-
+    portable; equality is all the join needs).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed, hash_fn
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(F.slice("signature", b * rows + 1, rows).cast("string")).alias(
-                "bucket"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice("signature", b * rows + 1, rows),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ).alias("bucket"),
         )
         for b in range(bands)
     ]
@@ -157,27 +188,43 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """64-bit SimHash per document (Charikar 2002), JVM-side.
+def simhash_bits(hash_fn: str) -> int:
+    """Fingerprint width per hash family: xxhash64 gives 63 usable bits
+    (sign bit avoided for portability), the md5-derived hash gives 60."""
+    return 60 if hash_fn == "md5" else 63
 
-    Per word: 64-bit hash; per bit: +1 if set else −1, summed over words;
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document (Charikar 2002), JVM-side.
+
+    Per word: wide hash; per bit: +1 if set else −1, summed over words;
     fingerprint bit = 1 where the sum > 0.  Implemented as explode(words) →
-    64 conditional sums → bit reassembly — one shuffle, map-side combined.
+    N conditional sums → bit reassembly — one shuffle, map-side combined.
     """
+    nbits = simhash_bits(hash_fn)
     words = df.select(
-        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    ).withColumn("h", _hash_long(hash_fn, "sh", F.col("w")) if hash_fn == "md5" else F.xxhash64("w"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # avoid the sign bit for portability
+        for b in range(nbits)
     ]
     agg = words.groupBy(id_col).agg(*votes)
     fp = None
-    for b in range(63):
+    for b in range(nbits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return agg.select(id_col, fp.alias("simhash"))
@@ -188,14 +235,15 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: docs sharing a simhash prefix block.
 
     Standard block-permutation trick (one block here; rotate for recall).
     """
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, hash_fn)
     blocked = s.withColumn(
-        "block", F.shiftrightunsigned("simhash", 63 - prefix_bits)
+        "block", F.shiftrightunsigned("simhash", simhash_bits(hash_fn) - prefix_bits)
     )
     l, r = blocked.alias("l"), blocked.alias("r")
     return (

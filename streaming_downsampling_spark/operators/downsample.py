@@ -146,6 +146,24 @@ def downsample_select(
     )
 
 
+def _method_metrics(x: np.ndarray, method: str, target: int, **kw) -> tuple[int, dict]:
+    """One (group, method) evaluation: select/pool → reconstruct → metrics.
+    Returns (k, metrics dict) — the reference's per-sample loop body
+    (/root/reference/new_evaluation.py:185-209, 244-253)."""
+    n = len(x)
+    if method in _SELECTORS:
+        idx = _SELECTORS[method](x, target, **kw)
+        rec = K.reconstruct_linear(idx, x[idx], n)
+        k = len(idx)
+    else:
+        pooled = K.avg_pool(x, target) if method == "avg_pool" else K.max_pool(x, target)
+        w = max(1, n // target)
+        centers = np.arange(len(pooled)) * w + (w - 1) / 2.0
+        rec = np.interp(np.arange(n, dtype=np.float64), centers, pooled)
+        k = len(pooled)
+    return k, K.reconstruction_metrics(x, rec)
+
+
 def downsample_metrics(
     df: DataFrame,
     method: str,
@@ -160,12 +178,30 @@ def downsample_metrics(
     """Downsample + endpoint-anchored linear reconstruction + error metrics
     per group (the reference's evaluation loop,
     /root/reference/new_evaluation.py:185-209, distributed)."""
-    if method in _SELECTORS:
-        selector = _SELECTORS[method]
-    elif method in ("avg_pool", "max_pool"):
-        selector = None
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    return downsample_metrics_multi(
+        df, [method], target, window, key_col, ts_col, value_col, order_col, **kw
+    )
+
+
+def downsample_metrics_multi(
+    df: DataFrame,
+    methods: list[str],
+    target: int,
+    window: str = "1 hour",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "turn_idx",
+    **kw,
+) -> DataFrame:
+    """All ``methods`` evaluated in ONE pass over the data — one shuffle
+    total, mirroring the reference's one-pass-per-sample comparison loop
+    (/root/reference/new_evaluation.py:244-253).  A per-method union would
+    re-shuffle the input once per method; at 100× scale that multiplies the
+    dominant I/O cost by len(methods)."""
+    for m in methods:
+        if m not in _SELECTORS and m not in ("avg_pool", "max_pool"):
+            raise ValueError(f"unknown method {m!r}")
 
     def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
         bounds, keys, ws = group_bounds(body)
@@ -174,32 +210,18 @@ def downsample_metrics(
         for i in range(len(bounds) - 1):
             a, b = bounds[i], bounds[i + 1]
             x = K.sanitize(vals[a:b])
-            n = len(x)
-            if selector is not None:
-                idx = selector(x, target, **kw)
-                rec = K.reconstruct_linear(idx, x[idx], n)
-                k = len(idx)
-            else:
-                pooled = (
-                    K.avg_pool(x, target)
-                    if method == "avg_pool"
-                    else K.max_pool(x, target)
+            for method in methods:
+                k, m = _method_metrics(x, method, target, **kw)
+                rows.append(
+                    {
+                        "key": keys[a],
+                        "window_start": ws[a],
+                        "method": method,
+                        "n": len(x),
+                        "k": k,
+                        **m,
+                    }
                 )
-                w = max(1, n // target)
-                centers = np.arange(len(pooled)) * w + (w - 1) / 2.0
-                rec = np.interp(np.arange(n, dtype=np.float64), centers, pooled)
-                k = len(pooled)
-            m = K.reconstruction_metrics(x, rec)
-            rows.append(
-                {
-                    "key": keys[a],
-                    "window_start": ws[a],
-                    "method": method,
-                    "n": n,
-                    "k": k,
-                    **m,
-                }
-            )
         return pd.DataFrame(rows)
 
     return sorted_group_map(

@@ -75,6 +75,13 @@ def cosine_topk(
     )
 
 
+def plane_literals(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """The seeded random hyperplanes, exposed so external oracles (e.g. the
+    DuckDB correctness gate) can embed the exact same constants."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -82,6 +89,7 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sign-of-projection LSH bucket per vector (Charikar 2002 SimHash for
     cosine).  ``n_planes`` seeded random hyperplanes → ``n_planes``-bit bucket
@@ -89,8 +97,7 @@ def hyperplane_lsh_buckets(
 
     The hyperplanes are literal columns (deterministic, no state to ship).
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = plane_literals(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         proj = F.aggregate(
@@ -103,7 +110,51 @@ def hyperplane_lsh_buckets(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+    return embeddings.select(
+        id_col, vec_col, *(keep_cols or []), bucket.alias("bucket")
+    )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH blocking.
+
+    Candidates are pairs sharing the (full-signature) bucket — each vector
+    belongs to exactly one bucket, so no distinct pass is needed and the pair
+    count is Σ_b |bucket_b|² instead of the O((N/k)²)-per-coarse-label blowup
+    of attribute blocking.  At corpus scale, raise ``n_planes`` so buckets
+    stay bounded (expected |bucket| ≈ N / 2^n_planes); recall is traded via
+    multiple plane seeds (union of runs), never via a wider cross join.
+    Output: (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+    """
+    b = hyperplane_lsh_buckets(embeddings, dim, n_planes, id_col, vec_col, seed)
+    a, c = b.alias("a"), b.alias("b")
+    cos = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+        6,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+    )
 
 
 def lsh_ann_topk(

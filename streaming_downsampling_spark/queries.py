@@ -22,7 +22,11 @@ from .operators import similarity as S
 from .operators import text as T
 from .operators.asof import asof_join
 from .operators.compress import compress_chunks, decompress_chunks
-from .operators.downsample import downsample_metrics, downsample_model, downsample_select
+from .operators.downsample import (
+    downsample_metrics_multi,
+    downsample_model,
+    downsample_select,
+)
 from .operators.gapfill import gapfill
 from .operators.multimodal import extract_features, synth_media
 from .operators.rollup import cascade, rollup
@@ -452,32 +456,306 @@ FROM events e ASOF LEFT JOIN hourly h
 """
 
 
+def _select_invariants(sel: DataFrame) -> DataFrame:
+    """Project a selection (SELECT_SCHEMA rows) to its per-window invariant
+    summary — scalar facts a SQL oracle can derive from the *raw* table
+    without re-running the iterative selector: the first (pos 0) and last
+    (pos n-1) points are always kept with their original values/order keys,
+    and exactly min(target, n) points are selected."""
+    return sel.groupBy("key", "window_start").agg(
+        F.count(F.lit(1)).alias("k_selected"),
+        F.min("sel_pos").cast("long").alias("first_pos"),
+        (F.max("sel_pos") + 1).cast("long").alias("n"),
+        F.min_by("sel_value", "sel_pos").alias("first_value"),
+        F.max_by("sel_value", "sel_pos").alias("last_value"),
+        F.min_by("sel_ord", "sel_pos").alias("first_ord"),
+        F.max_by("sel_ord", "sel_pos").alias("last_ord"),
+    )
+
+
+def _sql_select_invariants(target: int) -> str:
+    return f"""
+SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+       least(count(*), {target}) AS k_selected,
+       0 AS first_pos, count(*) AS n,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value,
+       min(event_id) AS first_ord, max(event_id) AS last_ord
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_lttb_select(spark, sf_dir):
-    """W3: LTTB point selection per (event_type, day) — Spark-only check for
-    the kernel also exercised (with an error oracle) in the bench query."""
+    """W3: LTTB per (event_type, day), verified via invariant summary.
+
+    LTTB is inherently sequential (each bucket's pick depends on the previous
+    one), so the full selection has no practical SQL twin; the oracle checks
+    the algorithm's hard invariants distributed end-to-end instead: endpoints
+    always kept (pos 0 / n-1 with untouched value & order key) and exactly
+    min(target, n) points per window.  The full selection path is
+    exercised bit-exactly against a brute-force triangle oracle in pytest
+    (tests/test_kernels.py) and in the error-bench query.
+    """
     ev = _t(spark, sf_dir, "events")
-    return downsample_select(
+    sel = downsample_select(
         ev, "lttb", 20, window="1 day", key_col="event_type",
         ts_col="ts", value_col="value", order_col="event_id",
     )
+    return _select_invariants(sel)
+
+
+SQL_LTTB_INVARIANTS = _sql_select_invariants(20)
 
 
 def q_pip_select(spark, sf_dir):
-    """W4: Perceptually-Important-Points selection per (event_type, day)."""
+    """W4: Perceptually-Important-Points per (event_type, day), verified via
+    the same invariant summary as LTTB (PIP also anchors both endpoints and
+    keeps exactly min(target, n) points)."""
     ev = _t(spark, sf_dir, "events")
-    return downsample_select(
+    sel = downsample_select(
         ev, "pip", 12, window="1 day", key_col="event_type",
         ts_col="ts", value_col="value", order_col="event_id",
     )
+    return _select_invariants(sel)
+
+
+SQL_PIP_INVARIANTS = _sql_select_invariants(12)
 
 
 def q_random_sample(spark, sf_dir):
-    """W6: seeded random sampling per (event_type, day), sorted indices."""
+    """W6: seeded random sampling per (event_type, day) — distributed form.
+
+    The seeded "permutation" is a cryptographic hash order (md5 of the salted
+    order key): deterministic, engine-portable, and shuffle-free to compute —
+    the scale-correct way to do seeded sampling on a cluster (numpy RNG order
+    would depend on partitioning).  The numpy ``random_indices`` kernel
+    (reference parity, /root/reference/new_evaluation.py:96-101) stays
+    pytest-covered.
+    """
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    return downsample_select(
-        ev, "random", 20, window="1 day", key_col="event_type",
-        ts_col="ts", value_col="value", order_col="event_id", seed=7,
+    h = F.md5(F.concat(F.lit("rs42|"), F.col("event_id").cast("string")))
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    ).orderBy(h, "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("window_start"),
+            "event_id",
+            "value",
+        )
     )
+
+
+SQL_RANDOM_SAMPLE = """
+SELECT event_type, window_start, event_id, value FROM (
+  SELECT event_type, date_trunc('day', ts) AS window_start, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY md5('rs42|' || event_id), event_id) AS rn
+  FROM events) WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference scalar pipeline ops: JSON serde (S7/S8), z-score apply (A2),
+# last-N buffer (T7), noise/mixup augmentation (P5/P6)
+# ---------------------------------------------------------------------------
+
+
+def _u01(salt: str, col):
+    """Deterministic engine-portable uniform in (0,1): 60-bit md5 hash of the
+    salted key, midpoint-offset.  Replaces RNG *state* with a hash so the
+    "random" stream is identical under any partitioning, any cluster size,
+    and in any engine with md5 — seeded randomness that actually survives
+    distribution (Spark's randn(seed) is partition-order-dependent)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(0.5)) / F.lit(float(1 << 60))
+
+
+def _sql_u01(salt: str, expr: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('{salt}|' || {expr}), 1, 15) AS BIGINT) + 0.5)"
+        f" / {1 << 60}.0"
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """S7/S8: the reference's JSON wire format as an operator —
+    serialize with non-finite→0.0 sanitization, deserialize back, and show
+    bad JSON parses to null (the deserializer's bad-input→[] rule)
+    (/root/reference/core/streaming_pipeline.py:33-85).  The oracle computes
+    the sanitized values directly — matching proves the serde round-trip is
+    value-exact through Jackson and back."""
+    ev = _t(spark, sf_dir, "events")
+    clean = F.when(
+        F.isnan("value") | (F.abs("value") == float("inf")), F.lit(0.0)
+    ).otherwise(F.col("value"))
+    schema = "struct<id:bigint,v:double>"
+    js = F.to_json(F.struct(F.col("event_id").alias("id"), clean.alias("v")))
+    parsed = F.from_json(js, schema)
+    bad = F.from_json(F.lit("not json"), schema)
+    return ev.select(
+        "event_id",
+        parsed["v"].alias("v_rt"),
+        bad["v"].isNull().alias("bad_parse_null"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT event_id,
+       CASE WHEN isnan(value) OR isinf(value) THEN 0.0 ELSE value END AS v_rt,
+       TRUE AS bad_parse_null
+FROM events
+"""
+
+
+def q_zscore_normalize(spark, sf_dir):
+    """A2: apply the per-key normalization statistics — broadcast the small
+    stats aggregate, project (x − mean) / std with the reference's zero-std
+    guard (/root/reference/main.py:64-68).  The fact table never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    sc = F.round(F.sum(F.col("value") * 100), 0)
+    sqc = F.round(F.sum(F.col("value") * F.col("value") * 10000), 0)
+    mean = sc / n / 100.0
+    var = sqc / n / 10000.0 - mean * mean
+    stats = ev.groupBy("event_type").agg(
+        F.round(mean, 6).alias("m"), F.round(F.sqrt(var), 6).alias("sd")
+    )
+    z = F.round(
+        (F.col("value") - F.col("m"))
+        / F.when(F.col("sd") == 0, F.lit(1.0)).otherwise(F.col("sd")),
+        6,
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", z.alias("z")
+    )
+
+
+SQL_ZSCORE = """
+WITH s AS (
+  SELECT event_type,
+    round(round(sum(value * 100)) / count(*) / 100.0, 6) AS m,
+    round(sqrt(round(sum(value * value * 10000)) / count(*) / 10000.0
+          - (round(sum(value * 100)) / count(*) / 100.0)
+            * (round(sum(value * 100)) / count(*) / 100.0)), 6) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.m) / (CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END), 6) AS z
+FROM events e JOIN s USING (event_type)
+"""
+
+
+def q_last_n_buffer(spark, sf_dir):
+    """T7: buffer-of-latest — the reference monitor's deque(maxlen=15)
+    (/root/reference/real_time_monitoring.py:20,71) as a last-N query."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 15)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+SQL_LAST_N = """
+SELECT event_type, rn, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 15
+"""
+
+
+def q_noise_augment(spark, sf_dir):
+    """P5: Gaussian-ish noise augmentation, x + σ·z
+    (/root/reference/main.py:82-85).  z is Irwin–Hall(12)−6 over hash
+    uniforms: mean 0, variance 1, and — unlike Box–Muller — built from
+    +,−,/ only, so it is bit-identical across engines (no libm variance)."""
+    ev = _t(spark, sf_dir, "events")
+    z = None
+    for j in range(12):
+        u = _u01(f"n{j}", F.col("event_id"))
+        z = u if z is None else z + u
+    z = z - F.lit(6.0)
+    return ev.select(
+        "event_id",
+        "value",
+        F.round(F.col("value") + F.lit(0.1) * z, 6).alias("noisy"),
+    )
+
+
+def _sql_noise_augment() -> str:
+    us = " + ".join(_sql_u01(f"n{j}", "event_id") for j in range(12))
+    return f"""
+SELECT event_id, value,
+       round(value + 0.1 * (({us}) - 6.0), 6) AS noisy
+FROM events
+"""
+
+
+def q_mixup_augment(spark, sf_dir):
+    """P6: mixup augmentation — convex combination of each row with a
+    hash-shuffled partner (/root/reference/main.py:87-95).  The "shuffle" is
+    a hash-order rank paired with its mirror rank; λ is a hash uniform
+    (deterministic stand-in for Beta(α,α) — train-time semantics preserved:
+    λx_i + (1−λ)x_j with a data-independent λ)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    h = F.md5(F.concat(F.lit("mx|"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wall)
+    )
+    other = ranked.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("value").alias("v_b"),
+    )
+    lam = _u01("lam", F.col("event_id"))
+    return (
+        ranked.join(
+            other,
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("rn_b") == F.col("cnt") - F.col("rn") + 1),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                lam * F.col("value") + (F.lit(1.0) - lam) * F.col("v_b"), 6
+            ).alias("mixed"),
+        )
+    )
+
+
+def _sql_mixup_augment() -> str:
+    lam = _sql_u01("lam", "a.event_id")
+    return f"""
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5('mx|' || event_id), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events)
+SELECT a.event_id, a.event_type,
+       round({lam} * a.value + (1.0 - {lam}) * b.value, 6) AS mixed
+FROM r a JOIN r b ON a.event_type = b.event_type AND b.rn = a.cnt - a.rn + 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -730,41 +1008,26 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label: the scale-correct
-    shape (block → within-block pairs → threshold), never an unblocked
-    cross join.  Deterministic output: (id_a < id_b, cos rounded)."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
+
+    Bucket population is ~N/2^n_planes regardless of how coarse any data
+    attribute is — unlike label blocking, whose within-block pair count is
+    quadratic in the label frequency (the round-1 shape; kept only in pytest
+    as a recall reference).  Output: (id_a < id_b, cos rounded ≥ 0.4)."""
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", "embedding")
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        S._dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (S._norm(F.col("a.embedding")) * S._norm(F.col("b.embedding"))),
-        6,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            "cos",
-        )
-    )
+    return S.lsh_near_dup_pairs(emb, dim=64, n_planes=4, threshold=0.4)
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+def _sql_embedding_near_dup() -> str:
+    bucket = _sql_lsh_bucket_expr(64, 4, 42, "v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
 """
 
 
@@ -784,28 +1047,129 @@ SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
-# Spark-only queries (no SQL equivalent → driver rows-only check)
+# LSH pipelines — oracled end-to-end via the portable md5-derived hash
+# (CAST('0x'||substr(md5(x),1,15) AS BIGINT) is bit-identical in Spark and
+# DuckDB, verified), so the *whole* banded-join pipeline is hash-checked,
+# not just its kernels.  The xxhash64 family stays the production default.
 # ---------------------------------------------------------------------------
+
+_SQL_SHINGLE_CTES = r"""
+w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words
+      FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(words) - 3 + 1, 1) + 1),
+                i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+       FROM w)"""
+
+
+def _sql_minhash_band_ctes(num_hashes: int, bands: int, seed: int = 42) -> str:
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(CAST('0x' || substr(md5('{seed + i}|' || shingle), 1, 15) AS BIGINT)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=" || ',' || ".join(
+                f"CAST(mh_{b * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""{_SQL_SHINGLE_CTES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY 1),
+bands AS ({band_sel}),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (non-SQL: banded signature join)."""
+    """MinHash-LSH near-dup candidate pairs (banded signature bucket join)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.lsh_candidates(docs, num_hashes=16, bands=4)
+    return D.lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5")
+
+
+SQL_MINHASH_LSH = (
+    "WITH "
+    + _sql_minhash_band_ctes(16, 4)
+    + "\nSELECT doc_a, doc_b FROM cand"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidates (verification stage) —
+    the full candidate→verify chain, oracled end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.lsh_candidates(docs, num_hashes=16, bands=8, hash_fn="md5")
+    return D.ngram_jaccard_pairs(docs, cands).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH "
+    + _sql_minhash_band_ctes(16, 8)
+    + """,
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.i, 0) / (za.sz + zb.sz - coalesce(i.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+)
 
 
 def q_simhash_nn(spark, sf_dir):
     """SimHash prefix-block near-dup candidates with Hamming distance."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dups(docs, prefix_bits=12)
+    return D.simhash_near_dups(docs, prefix_bits=12, hash_fn="md5")
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard over LSH candidates (verification stage)."""
-    docs = _t(spark, sf_dir, "documents")
-    cands = D.lsh_candidates(docs, num_hashes=16, bands=8)
-    return D.ngram_jaccard_pairs(docs, cands).withColumn(
-        "jaccard", F.round("jaccard", 6)
+def _sql_simhash_nn(prefix_bits: int = 12, nbits: int = 60) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(nbits)
+    )
+    return rf"""
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5('sh|' || word), 1, 15) AS BIGINT) AS hv
+      FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v),
+blk AS (SELECT doc_id, simhash, simhash >> {nbits - prefix_bits} AS block FROM f)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM blk l JOIN blk r ON l.block = r.block AND l.doc_id < r.doc_id
+"""
+
+
+def _sql_lsh_bucket_expr(dim: int, n_planes: int, seed: int, vcol: str) -> str:
+    """DuckDB expression for the hyperplane-LSH bucket, embedding the exact
+    plane constants the Spark operator draws (repr round-trips doubles)."""
+    planes = S.plane_literals(dim, n_planes, seed)
+    return " + ".join(
+        "(CASE WHEN list_dot_product({v}, [{lits}]) > 0 THEN {bit} ELSE 0 END)".format(
+            v=vcol,
+            lits=", ".join(repr(float(x)) for x in p),
+            bit=1 << i,
+        )
+        for i, p in enumerate(planes)
     )
 
 
@@ -813,6 +1177,28 @@ def q_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH approximate cosine top-k (bucketed scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, n_planes=6)
+
+
+def _sql_lsh_ann() -> str:
+    bucket = _sql_lsh_bucket_expr(64, 6, 42, "v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+s AS (SELECT query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv, b.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-only queries (no SQL equivalent → driver rows-only check)
+# ---------------------------------------------------------------------------
 
 
 def q_model_downsample(spark, sf_dir):
@@ -848,20 +1234,19 @@ def q_model_downsample(spark, sf_dir):
 
 def q_downsample_error_bench(spark, sf_dir):
     """Per-method reconstruction-error benchmark (the reference's
-    new_evaluation harness as one distributed query)."""
+    new_evaluation harness as one distributed query).  All six methods run
+    in ONE sorted-group pass — one shuffle of the events table, not six
+    (/root/reference/new_evaluation.py:244-253 evaluates every method inside
+    the same per-sample loop for the same reason)."""
     ev = _t(spark, sf_dir, "events")
-    outs = []
-    for m in ["uniform", "minmax", "lttb", "wavelet_threshold", "avg_pool", "max_pool"]:
-        outs.append(
-            downsample_metrics(
-                ev, m, 20, window="1 day", key_col="event_type",
-                ts_col="ts", value_col="value", order_col="event_id",
-            )
-        )
-    base = outs[0]
-    for o in outs[1:]:
-        base = base.unionByName(o)
-    return base.groupBy("method").agg(
+    metrics = downsample_metrics_multi(
+        ev,
+        ["uniform", "minmax", "lttb", "wavelet_threshold", "avg_pool", "max_pool"],
+        20,
+        window="1 day", key_col="event_type",
+        ts_col="ts", value_col="value", order_col="event_id",
+    )
+    return metrics.groupBy("method").agg(
         F.round(F.avg("mse"), 6).alias("avg_mse"),
         F.round(F.avg("r2"), 6).alias("avg_r2"),
         F.count(F.lit(1)).alias("n_windows"),
@@ -908,7 +1293,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    # Spark-only (rows-only correctness check)
     "lttb_select": q_lttb_select,
     "pip_select": q_pip_select,
     "random_sample": q_random_sample,
@@ -916,6 +1300,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_nn": q_simhash_nn,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_ann": q_lsh_ann,
+    "json_roundtrip": q_json_roundtrip,
+    "zscore_normalize": q_zscore_normalize,
+    "last_n_buffer": q_last_n_buffer,
+    "noise_augment": q_noise_augment,
+    "mixup_augment": q_mixup_augment,
+    # Spark-only (rows-only correctness check): frozen-attention model and
+    # the multi-metric reconstruction bench have no SQL twin
     "model_downsample": q_model_downsample,
     "downsample_error_bench": q_downsample_error_bench,
     "multimodal_features": q_multimodal_features,
@@ -946,5 +1337,17 @@ ORACLES: dict[str, str] = {
     "lang_guess": _sql_lang_guess(),
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
-    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup": _sql_embedding_near_dup(),
+    "lttb_select": SQL_LTTB_INVARIANTS,
+    "pip_select": SQL_PIP_INVARIANTS,
+    "random_sample": SQL_RANDOM_SAMPLE,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash_nn": _sql_simhash_nn(),
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lsh_ann": _sql_lsh_ann(),
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
+    "zscore_normalize": SQL_ZSCORE,
+    "last_n_buffer": SQL_LAST_N,
+    "noise_augment": _sql_noise_augment(),
+    "mixup_augment": _sql_mixup_augment(),
 }

@@ -78,3 +78,50 @@ def test_chunk_roundtrip():
     ts2, v2 = g.decode_chunk(tb, vb)
     np.testing.assert_array_equal(ts, ts2)
     np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+
+def test_vectorized_decode_equals_scalar():
+    """The pointer-doubled vectorized decoders must be bit-exact with the
+    scalar readers on adversarial data (big dods, subnormals, sign flips)."""
+    rng = np.random.default_rng(17)
+    for n in [3, 4, 7, 64, 1000, 4097]:
+        ts = np.cumsum(rng.integers(-(10**7), 10**9, size=n)).astype(np.int64)
+        vals = rng.normal(size=n)
+        vals[:: max(1, n // 7)] *= 1e300
+        vals[1:: max(1, n // 5)] = np.round(vals[1:: max(1, n // 5)], 2)
+        tb = g.encode_timestamps(ts)
+        vb = g.encode_values(vals)
+        assert np.array_equal(g.decode_timestamps(tb), g._decode_timestamps_scalar(tb))
+        got = g.decode_values(vb)
+        exp = g._decode_values_scalar(vb)
+        assert np.array_equal(got.view(np.uint64), exp.view(np.uint64))
+
+
+def test_decode_values_legacy_window_reuse():
+    """Streams containing the paper's '10' (reuse previous window) record —
+    which our encoder no longer writes — must still decode via the scalar
+    fallback."""
+    vals = np.array([1.0, 1.5, 1.25, 1.0], dtype=np.float64)
+    bits = vals.view(np.uint64)
+    w = g._BitWriter()
+    w.write(len(vals), 32)
+    w.write(int(bits[0]), 64)
+    lead = trail = sig = None
+    for i in range(1, len(vals)):
+        x = int(bits[i] ^ bits[i - 1])
+        assert x != 0
+        lz = 64 - x.bit_length()
+        tz = (x & -x).bit_length() - 1
+        if sig is not None and lz >= lead and tz >= trail:
+            w.write(0b10, 2)  # reuse previous window
+            w.write(x >> trail, sig)
+        else:
+            lead, trail = min(lz, 31), tz
+            sig = 64 - lead - trail
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(sig - 1, 6)
+            w.write(x >> trail, sig)
+    blob = w.getvalue()
+    got = g.decode_values(blob)
+    assert np.array_equal(got.view(np.uint64), bits)
