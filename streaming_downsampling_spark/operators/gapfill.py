@@ -22,9 +22,21 @@ from .rollup import TIERS
 
 
 def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
-    """Per-key dense grid of window_start values spanning min..max."""
+    """Per-key dense grid of window_start values spanning min..max.
+
+    Generated in per-day slices (outer ``sequence`` over days, inner over
+    ticks within each day): a single ``sequence(w0, w1, interval)`` holds the
+    whole spine of a key in ONE array row — a multi-year key at the 1m tier
+    is a ~10⁶-element array on one executor (and Spark hard-caps sequence
+    length), whereas the sliced form bounds every array at 1440 elements and
+    lets the explode stream.  Requires ``window_start`` values on the
+    epoch-aligned tier grid — true for every ``F.window``/rollup output —
+    so day boundaries fall on the grid and the sliced union equals the
+    single-sequence spine exactly.
+    """
     interval = F.expr(f"interval {TIERS[tier]}")
-    return (
+    one_day = F.expr("interval 1 day")
+    days = (
         rollup_df.groupBy(key)
         .agg(
             F.min("window_start").alias("w0"),
@@ -32,10 +44,24 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
         )
         .select(
             key,
-            F.explode(F.sequence(F.col("w0"), F.col("w1"), interval)).alias(
-                "window_start"
-            ),
+            "w0",
+            "w1",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", "w0"), F.date_trunc("day", "w1"), one_day
+                )
+            ).alias("day"),
         )
+    )
+    return days.select(
+        key,
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("day"), F.col("w0")),
+                F.least(F.col("day") + one_day - interval, F.col("w1")),
+                interval,
+            )
+        ).alias("window_start"),
     )
 
 

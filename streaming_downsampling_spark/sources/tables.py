@@ -5,16 +5,22 @@ idempotent MERGE).  The Iceberg Spark runtime jar cannot be fetched in this
 offline environment, so this module provides the same *semantics* behind a
 thin, swappable layer (SURVEY.md §7.2 M0 fallback):
 
-* each commit writes a fresh immutable snapshot directory
-  ``<warehouse>/<table>/snap-<n>/`` (parquet files),
+* data lives in immutable directories ``<warehouse>/<table>/data/<name>/``
+  (parquet files); a snapshot is a *manifest* mapping partition key → the
+  list of data dirs that hold that partition's current rows,
 * ``metadata.json`` is swapped atomically (write-temp + ``os.replace``) and
-  carries the snapshot lineage (id, parent, operation, row count),
+  carries the snapshot lineage (id, parent, operation, row count, manifest),
 * readers always resolve the *current* snapshot → readers never see partial
   writes (the Iceberg atomic-commit property),
-* ``merge_upsert`` is an idempotent MERGE keyed on arbitrary columns —
-  replaying the same batch converges to the same table (exactly-once
-  end-to-end when driven from a checkpointed stream),
-* time travel: ``read(snapshot_id=...)``.
+* ``append`` commits ONLY the new batch's files — O(batch) I/O, the old
+  manifest entries are reused by reference,
+* ``merge_upsert`` is an idempotent MERGE keyed on arbitrary columns;
+  with ``partition_by`` it rewrites ONLY the partitions the batch touches
+  (real Iceberg MERGE behavior) — per-micro-batch cost is O(touched
+  partitions), not O(table), which is what keeps a long-running stream's
+  total write I/O linear instead of quadratic,
+* time travel: ``read(snapshot_id=...)``; retention:
+  ``expire_snapshots`` deletes data dirs no kept snapshot references.
 
 On a real cluster you'd swap this for ``df.writeTo("cat.db.t")`` with the
 Iceberg catalog; every call site goes through this module only.
@@ -24,9 +30,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+UNPARTITIONED = "*"
 
 
 class Warehouse:
@@ -60,25 +69,49 @@ class Warehouse:
     def current_snapshot(self, table: str) -> int | None:
         return self._load_meta(table)["current"]
 
+    def _snapshot_entry(self, meta: dict, snapshot_id: int | None) -> dict:
+        snap = meta["current"] if snapshot_id is None else snapshot_id
+        for s in meta["snapshots"]:
+            if s["id"] == snap:
+                return s
+        raise FileNotFoundError(f"snapshot {snap} not found")
+
     # -- io ------------------------------------------------------------------
-    def _snap_dir(self, table: str, snap: int) -> str:
-        return os.path.join(self.root, table, f"snap-{snap}")
+    def _data_dir(self, table: str, name: str) -> str:
+        return os.path.join(self.root, table, "data", name)
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
 
-    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        snapshot_id: int | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot; ``partitions`` restricts the scan to the named
+        partition keys (manifest-level partition pruning)."""
         meta = self._load_meta(table)
-        snap = meta["current"] if snapshot_id is None else snapshot_id
-        if snap is None:
+        if meta["current"] is None:
             raise FileNotFoundError(f"table {table!r} has no snapshot")
-        return self.spark.read.parquet(self._snap_dir(table, snap))
+        entry = self._snapshot_entry(meta, snapshot_id)
+        dirs = [
+            self._data_dir(table, d)
+            for p, ds in sorted(entry["parts"].items())
+            if partitions is None or p in partitions
+            for d in ds
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no data for table {table!r} partitions {partitions!r}"
+            )
+        return self.spark.read.parquet(*dirs)
 
     def _next_snap(self, meta: dict) -> int:
         return (meta["current"] or 0) + 1 if meta["snapshots"] else 1
 
     def _finish(
-        self, table: str, df_written_dir: str, op: str, rows: int, meta: dict, snap: int
+        self, table: str, op: str, rows: int, meta: dict, snap: int, parts: dict
     ) -> int:
         meta["snapshots"].append(
             {
@@ -86,6 +119,7 @@ class Warehouse:
                 "parent": meta["current"],
                 "op": op,
                 "rows": rows,
+                "parts": parts,
                 "committed_at": time.time(),
             }
         )
@@ -93,52 +127,141 @@ class Warehouse:
         self._commit_meta(table, meta)
         return snap
 
-    def overwrite(self, table: str, df: DataFrame, op: str = "overwrite") -> int:
+    def _write_dir(self, table: str, name: str, df: DataFrame) -> int:
+        out = self._data_dir(table, name)
+        df.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out).count()
+
+    def _write_partitioned(
+        self, table: str, snap: int, df: DataFrame, partition_by: str
+    ) -> tuple[dict, int]:
+        """One immutable dir per touched partition value; the partition
+        column stays in the data (schema-stable reads)."""
+        df = df.persist()
+        values = [r[0] for r in df.select(partition_by).distinct().collect()]
+        parts, rows = {}, 0
+        for i, v in enumerate(sorted(values, key=str)):
+            name = f"d{snap}-{i}"
+            rows += self._write_dir(
+                table, name, df.filter(F.col(partition_by) == F.lit(v))
+            )
+            parts[str(v)] = [name]
+        df.unpersist()
+        return parts, rows
+
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        op: str = "overwrite",
+        partition_by: str | None = None,
+    ) -> int:
         """Write a new snapshot containing exactly ``df``."""
         meta = self._load_meta(table)
         snap = self._next_snap(meta)
-        out = self._snap_dir(table, snap)
-        df.write.mode("overwrite").parquet(out)
-        rows = self.spark.read.parquet(out).count()
-        return self._finish(table, out, op, rows, meta, snap)
+        if partition_by is None:
+            name = f"d{snap}-0"
+            rows = self._write_dir(table, name, df)
+            parts = {UNPARTITIONED: [name]}
+        else:
+            parts, rows = self._write_partitioned(table, snap, df, partition_by)
+        return self._finish(table, op, rows, meta, snap, parts)
 
-    def append(self, table: str, df: DataFrame) -> int:
-        """Append-as-new-snapshot (union with current)."""
+    def append(
+        self, table: str, df: DataFrame, partition_by: str | None = None
+    ) -> int:
+        """Append-only commit: writes the batch's files, reuses every
+        existing manifest entry by reference — O(batch) I/O."""
         if not self.exists(table):
-            return self.overwrite(table, df, op="append")
-        cur = self.read(table)
-        return self.overwrite(table, cur.unionByName(df), op="append")
+            return self.overwrite(table, df, op="append", partition_by=partition_by)
+        meta = self._load_meta(table)
+        snap = self._next_snap(meta)
+        parts = {p: list(ds) for p, ds in self._snapshot_entry(meta, None)["parts"].items()}
+        if partition_by is None:
+            name = f"d{snap}-0"
+            rows = self._write_dir(table, name, df)
+            parts.setdefault(UNPARTITIONED, []).append(name)
+        else:
+            new_parts, rows = self._write_partitioned(table, snap, df, partition_by)
+            for p, ds in new_parts.items():
+                parts.setdefault(p, []).extend(ds)
+        return self._finish(table, "append", rows, meta, snap, parts)
 
-    def merge_upsert(self, table: str, df: DataFrame, keys: list[str]) -> int:
+    def merge_upsert(
+        self,
+        table: str,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: str | None = None,
+    ) -> int:
         """Idempotent MERGE: new rows replace current rows with equal keys.
 
         Equivalent to ``MERGE INTO t USING s ON <keys> WHEN MATCHED THEN
         UPDATE * WHEN NOT MATCHED THEN INSERT *`` — replaying the same source
         batch is a no-op on the final state, which is what makes streaming
         restarts exactly-once at the table level.
+
+        With ``partition_by`` (a column of ``df``), only the partitions
+        present in the batch are read + rewritten; all other partitions'
+        manifest entries carry over untouched.
         """
         if not self.exists(table):
-            return self.overwrite(table, df, op="merge")
-        cur = self.read(table)
-        remaining = cur.join(df.select(*keys).distinct(), keys, "left_anti")
-        return self.overwrite(table, remaining.unionByName(df), op="merge")
+            return self.overwrite(table, df, op="merge", partition_by=partition_by)
+        meta = self._load_meta(table)
+        cur = self._snapshot_entry(meta, None)["parts"]
+        if partition_by is None or UNPARTITIONED in cur:
+            # unpartitioned (or one-time migration of a table created
+            # unpartitioned): full merge rewrite
+            old = self.read(table)
+            remaining = old.join(df.select(*keys).distinct(), keys, "left_anti")
+            return self.overwrite(
+                table,
+                remaining.unionByName(df),
+                op="merge",
+                partition_by=partition_by,
+            )
+        snap = self._next_snap(meta)
+        parts = {p: list(ds) for p, ds in cur.items()}
+        df = df.persist()
+        values = [r[0] for r in df.select(partition_by).distinct().collect()]
+        rows = 0
+        for i, v in enumerate(sorted(values, key=str)):
+            sub = df.filter(F.col(partition_by) == F.lit(v))
+            old_dirs = parts.get(str(v), [])
+            if old_dirs:
+                old = self.spark.read.parquet(
+                    *[self._data_dir(table, d) for d in old_dirs]
+                )
+                keep = old.join(sub.select(*keys).distinct(), keys, "left_anti")
+                sub = keep.unionByName(sub)
+            name = f"d{snap}-{i}"
+            rows += self._write_dir(table, name, sub)
+            parts[str(v)] = [name]
+        df.unpersist()
+        return self._finish(table, "merge", rows, meta, snap, parts)
 
     def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
-        """Retention: delete all but the newest ``keep_last`` snapshot dirs
-        (the Iceberg ``expire_snapshots`` maintenance action)."""
-        import shutil
-
+        """Retention: drop all but the newest ``keep_last`` snapshots and
+        delete every data dir no kept snapshot references (the Iceberg
+        ``expire_snapshots`` maintenance action)."""
         meta = self._load_meta(table)
-        snaps = [s["id"] for s in meta["snapshots"]]
-        to_drop = snaps[:-keep_last] if keep_last else snaps
-        dropped = []
-        for s in to_drop:
-            d = self._snap_dir(table, s)
-            if s != meta["current"] and os.path.exists(d):
-                shutil.rmtree(d)
-                dropped.append(s)
-        meta["snapshots"] = [
-            s for s in meta["snapshots"] if s["id"] not in dropped
-        ]
+        snaps = meta["snapshots"]
+        kept, dropped = snaps[-keep_last:] if keep_last else [], snaps[:-keep_last] if keep_last else snaps
+        kept = [s for s in kept] or [self._snapshot_entry(meta, None)]
+        live = {
+            d for s in kept for ds in s["parts"].values() for d in ds
+        }
+        dropped_ids = []
+        for s in dropped:
+            if s["id"] == meta["current"]:
+                continue
+            for ds in s["parts"].values():
+                for d in ds:
+                    if d not in live:
+                        path = self._data_dir(table, d)
+                        if os.path.exists(path):
+                            shutil.rmtree(path)
+            dropped_ids.append(s["id"])
+        meta["snapshots"] = [s for s in snaps if s["id"] not in dropped_ids]
         self._commit_meta(table, meta)
-        return dropped
+        return dropped_ids

@@ -158,3 +158,39 @@ def test_model_downsample_lengths(transcripts):
         c = wv.coeff_length(row["n"], "db4", 1)
         assert len(row["pooled_approx"]) == (c - 2) // 2 + 1
         assert len(row["detail_values"]) == max(1, int(round(c * 0.8)))
+
+
+def test_time_spine_sliced_equals_dense(spark):
+    """The day-sliced spine must equal sequence(w0, w1, interval) exactly,
+    including a key spanning many days at a fine tier (the scale hazard:
+    one giant per-key array)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streaming_downsampling_spark.operators.gapfill import time_spine
+
+    base = dt.datetime(2024, 1, 3, 7, 42)  # deliberately mid-day, on-grid
+    rows = [
+        ("long", base, 1.0),
+        ("long", base + dt.timedelta(days=59, hours=5), 2.0),
+        ("short", base, 1.0),
+        ("short", base + dt.timedelta(minutes=3), 4.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "ts", "v"])
+    ).select(
+        "key", F.window("ts", "1 minute")["start"].alias("window_start"), "v"
+    )
+    spine = time_spine(df, "1m").groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("window_start").alias("lo"),
+        F.max("window_start").alias("hi"),
+    )
+    got = {r["key"]: r for r in spine.collect()}
+    assert got["short"]["n"] == 4  # minutes 0..3 inclusive
+    expected_long = (59 * 24 * 60) + 5 * 60 + 1
+    assert got["long"]["n"] == expected_long
+    assert got["long"]["lo"] == base.replace(second=0)
+    assert got["long"]["hi"] == (base + dt.timedelta(days=59, hours=5)).replace(second=0)

@@ -148,3 +148,55 @@ def test_stream_resume_after_new_data(spark, wh, tmp_path, stream_source):
         wh.read("r1m_b").agg(F.sum("n_points")).collect()[0][0]
     )
     assert total_points == tbl.num_rows
+
+
+def _dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, wh):
+    """VERDICT item: a merge commit must write O(batch) bytes, not O(table).
+    Untouched partitions' data dirs are carried by reference."""
+    big = spark.range(20000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 2).cast("string").alias("day"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    wh.overwrite("pt", big, partition_by="day")
+    snaps0 = wh.snapshots("pt")[-1]
+    assert set(snaps0["parts"]) == {"0", "1"}
+
+    small = spark.createDataFrame(
+        [(3, "1", 99.0), (20001, "1", 1.0)], ["key", "day", "v"]
+    )
+    wh.merge_upsert("pt", small, keys=["key"], partition_by="day")
+    snap1 = wh.snapshots("pt")[-1]
+    # day "0" dirs are identical references; only day "1" was rewritten
+    assert snap1["parts"]["0"] == snaps0["parts"]["0"]
+    assert snap1["parts"]["1"] != snaps0["parts"]["1"]
+    got = wh.read("pt")
+    assert got.count() == 20001
+    assert got.filter(F.col("key") == 3).collect()[0]["v"] == 99.0
+    # time travel still sees the pre-merge state
+    assert wh.read("pt", snapshot_id=snaps0["id"]).count() == 20000
+
+
+def test_append_is_o_batch(spark, wh):
+    """Appends must not rewrite history (lineage-log regression): the new
+    snapshot reuses prior dirs and the commit's new files are ~batch-sized."""
+    wh.append("log", spark.range(50000).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    data_root = os.path.join(wh.root, "log", "data")
+    before_dirs = set(os.listdir(data_root))
+    before_bytes = _dir_bytes(data_root)
+    wh.append("log", spark.range(5).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    new_dirs = set(os.listdir(data_root)) - before_dirs
+    new_bytes = _dir_bytes(data_root) - before_bytes
+    assert len(new_dirs) == 1
+    # 5-row commit writes a few KB of parquet scaffolding, nowhere near the
+    # 50k-row table
+    assert new_bytes < before_bytes / 5
+    assert wh.read("log").count() == 50005
