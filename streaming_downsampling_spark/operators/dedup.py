@@ -88,11 +88,43 @@ def minhash_signatures(
     expressions; map-side partial min aggregation.
     """
     sh = shingles(df, text_col, id_col, n=shingle_n)
-    aggs = [
-        F.min(_hash_long(hash_fn, str(seed + i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    if hash_fn == "md5":
+        # two independent 60-bit lanes per md5 (hex chars 1-15 and 17-31),
+        # kept as strings: lexicographic min over fixed-width hex equals
+        # numeric min, is engine-portable, and skips the hex→decimal conv()
+        # that measured ~2× the md5 cost itself.  The md5 strings are
+        # materialized in their own projection so each is computed once for
+        # both lanes regardless of codegen CSE.
+        n_md5 = (num_hashes + 1) // 2
+        with_md5 = sh.select(
+            id_col,
+            *[
+                F.md5(F.concat(F.lit(f"{seed + j}|"), F.col("shingle"))).alias(
+                    f"m_{j}"
+                )
+                for j in range(n_md5)
+            ],
+        )
+        hashed = with_md5.select(
+            id_col,
+            *[
+                F.substring(f"m_{i // 2}", 1 if i % 2 == 0 else 17, 15).alias(
+                    f"h_{i}"
+                )
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        hashed = sh.select(
+            id_col,
+            *[
+                _hash_long(hash_fn, str(seed + i), F.col("shingle")).alias(f"h_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
     return sig.select(
         id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
     )

@@ -1067,7 +1067,8 @@ sh AS (SELECT doc_id,
 def _sql_minhash_band_ctes(num_hashes: int, bands: int, seed: int = 42) -> str:
     rows = num_hashes // bands
     mins = ",\n             ".join(
-        f"min(CAST('0x' || substr(md5('{seed + i}|' || shingle), 1, 15) AS BIGINT)) AS mh_{i}"
+        f"min(substr(md5('{seed + i // 2}|' || shingle), "
+        f"{1 if i % 2 == 0 else 17}, 15)) AS mh_{i}"
         for i in range(num_hashes)
     )
     band_sel = "\n  UNION ALL ".join(
