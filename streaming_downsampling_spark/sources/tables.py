@@ -240,6 +240,25 @@ class Warehouse:
         df.unpersist()
         return self._finish(table, "merge", rows, meta, snap, parts)
 
+    def partition_keys(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        """Partition keys of a snapshot's manifest (sorted)."""
+        meta = self._load_meta(table)
+        return sorted(self._snapshot_entry(meta, snapshot_id)["parts"])
+
+    def expire_partitions(self, table: str, before: str) -> int:
+        """Retention policy: drop every partition with key < ``before``
+        (string compare — day keys are ISO dates, so lexicographic ==
+        chronological).  A pure metadata commit, O(#partitions): no data is
+        read or rewritten (the Iceberg ``DELETE WHERE`` fast path on a
+        partition predicate); the dropped dirs are reclaimed later by
+        ``expire_snapshots`` once no kept snapshot references them.
+        """
+        meta = self._load_meta(table)
+        cur = self._snapshot_entry(meta, None)["parts"]
+        parts = {p: list(ds) for p, ds in cur.items() if not (p != UNPARTITIONED and p < before)}
+        snap = self._next_snap(meta)
+        return self._finish(table, "expire_partitions", 0, meta, snap, parts)
+
     def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
         """Retention: drop all but the newest ``keep_last`` snapshots and
         delete every data dir no kept snapshot references (the Iceberg

@@ -128,6 +128,10 @@ def run_tier_stream(
         .foreachBatch(sink)
         .start()
     )
+    return _finish_stream(spark, q, log, stats)
+
+
+def _finish_stream(spark, q, log, stats) -> dict:
     q.awaitTermination()
     # surface watermark-dropped rows into metrics
     dropped = 0
@@ -141,3 +145,59 @@ def run_tier_stream(
     stats["late_rows_dropped"] = dropped
     stats["job_id"] = log.job_id
     return stats
+
+
+def refresh_tier_cascade(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    src_table: str,
+    dst_table: str,
+    to_tier: str = "1h",
+    since_day: str | None = None,
+    lineage: LineageLog | None = None,
+) -> dict:
+    """Incrementally refresh a coarser continuous-aggregate tier from the
+    fine streaming tier table (the 1m→1h→1d cascade as a maintenance job).
+
+    Reads only the fine tier's day partitions >= ``since_day`` (manifest-
+    level pruning — no data I/O for old days), re-aggregates the algebraic
+    columns (n/sum/min/max compose exactly; avg recomputed from them), and
+    MERGEs partition-scoped into the destination.  Exact because coarse
+    windows (1h/1d) never span a day boundary: a refreshed day's coarse
+    windows depend only on that day's fine rows.
+    """
+    keys = warehouse.partition_keys(src_table)
+    selected = [k for k in keys if since_day is None or k >= since_day]
+    fine = warehouse.read(src_table, partitions=selected)
+    w = F.window("window_start", TIERS[to_tier])
+    agg = (
+        fine.groupBy("key", w.alias("w"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_points",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_points"))
+        .withColumn("p_day", F.date_format("window_start", "yyyy-MM-dd"))
+    )
+    t0 = time.time()
+    agg = agg.persist()
+    n = agg.count()
+    snap = warehouse.merge_upsert(
+        dst_table, agg, keys=["key", "window_start"], partition_by="p_day"
+    )
+    agg.unpersist()
+    log = lineage or LineageLog(warehouse)
+    log.record_batch(-1, dst_table, "cascade_refresh", n, n, snap, t0)
+    log.flush(spark)
+    return {"rows": n, "snapshot": snap, "partitions_read": len(selected)}

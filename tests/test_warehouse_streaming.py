@@ -200,3 +200,58 @@ def test_append_is_o_batch(spark, wh):
     # 50k-row table
     assert new_bytes < before_bytes / 5
     assert wh.read("log").count() == 50005
+
+
+def test_expire_partitions_metadata_only(spark, wh):
+    """Tier retention: dropping old days is a metadata commit (no data I/O);
+    time travel still reaches them until snapshots expire."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)],
+        ["key", "day", "v"],
+    )
+    s1 = wh.overwrite("tier", df, partition_by="day")
+    data_root = os.path.join(wh.root, "tier", "data")
+    before = set(os.listdir(data_root))
+    wh.expire_partitions("tier", before="2024-01-03")
+    assert set(os.listdir(data_root)) == before  # no data touched
+    assert [r["day"] for r in wh.read("tier").collect()] == ["2024-01-03"]
+    # time travel still sees the dropped days
+    assert wh.read("tier", snapshot_id=s1).count() == 3
+    # snapshot expiry reclaims the now-unreferenced dirs
+    wh.expire_snapshots("tier", keep_last=1)
+    assert len(os.listdir(data_root)) == 1
+    assert wh.read("tier").count() == 1
+
+
+def test_refresh_tier_cascade_matches_batch(spark, wh, tmp_path, stream_source):
+    """1m stream table → 1h cascade refresh must equal the batch 1h rollup
+    (algebraic composition is exact)."""
+    import pandas as pd
+
+    from streaming_downsampling_spark.streaming.jobs import refresh_tier_cascade
+
+    src_dir, tbl = stream_source
+    run_tier_stream(
+        spark, src_dir, str(tmp_path / "ck3"), wh, table="r1m_c", tier="1m",
+        watermark="3650 days",
+    )
+    out = refresh_tier_cascade(spark, wh, "r1m_c", "r1h_c", to_tier="1h")
+    assert out["rows"] > 0 and out["partitions_read"] > 0
+    cols = ["key", "window_start", "n_points", "sum_value", "min_value", "max_value"]
+    got = wh.read("r1h_c").select(*cols).orderBy("key", "window_start").toPandas()
+    batch_df = with_signal(spark.createDataFrame(tbl.to_pandas()))
+    exp = (
+        rollup(batch_df, "1h")
+        .select(*cols)
+        .orderBy("key", "window_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+    # incremental refresh of a suffix of days is idempotent
+    days = wh.partition_keys("r1m_c")
+    out2 = refresh_tier_cascade(spark, wh, "r1m_c", "r1h_c", to_tier="1h",
+                                since_day=days[len(days) // 2])
+    # prunes to the requested suffix (fixture may span a single day)
+    assert out2["partitions_read"] == len(days) - len(days) // 2
+    got2 = wh.read("r1h_c").select(*cols).orderBy("key", "window_start").toPandas()
+    pd.testing.assert_frame_equal(got2, exp, check_exact=True)
