@@ -219,8 +219,11 @@ Reproduce: `python scripts/scaling_bench.py {n} {r['sf']} {r['pairs']} --update-
         with open(path) as f:
             text = f.read()
     if marker in text:
-        head = text.split(marker)[0]
-        text = head + section
+        head, rest = text.split(marker, 1)
+        # preserve every section after the scaling one
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt != -1 else ""
+        text = head + section + "\n" + tail
     else:
         text = (text + "\n" if text else "# BENCH — engine measurements\n\n") + section
     with open(path, "w") as f:
