@@ -292,3 +292,92 @@ def simhash_near_dups(
             ).alias("hamming"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clustering: connected components over candidate pairs.
+
+    The final stage of a dedup pipeline — near-dup PAIRS must become
+    duplicate CLUSTERS with one canonical representative (the min id) before
+    anything can be dropped.  Iterative min-label propagation: each round
+    every node adopts the minimum label among itself and its neighbors,
+    converging to component_id = min(node id in component).  Rounds are
+    O(component diameter); duplicate clusters are near-cliques, so 2-3
+    rounds in practice (``max_iter`` bounds adversarial chains — for long
+    path-shaped graphs swap in the O(log n)-round large-star/small-star of
+    Kiveris et al. 2014, same join shapes).  Each round is two hash-key
+    shuffles; labels are persisted and replaced per round so the plan stays
+    O(1) deep.  Convergence check = count of changed labels (no
+    full-table sums that could overflow).
+
+    Output: (node, component) for every node appearing in ``pairs``.
+    """
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Every document with its canonical duplicate-cluster id: LSH candidate
+    pairs → connected components; docs in no pair are their own canonical.
+    Output: (doc_id, component_id)."""
+    cands = lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn
+    )
+    comp = connected_components(cands)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component_id"),
+        )
+    )

@@ -1130,6 +1130,34 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clustering: LSH candidate pairs → connected components →
+    every doc with its canonical cluster id (min doc_id in component).
+    The oracle computes the transitive closure with a recursive CTE —
+    feasible exactly because candidate pairs are sparse; the Spark side uses
+    min-label propagation (bounded rounds, two hash shuffles each), the
+    shape that survives a 10⁹-doc corpus where closure does not."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_components(docs, num_hashes=16, bands=4, hash_fn="md5")
+
+
+SQL_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _sql_minhash_band_ctes(16, 4)
+    + """,
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(least(c.doc_id, c.mn), d.doc_id) AS component_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+)
+
+
 def q_simhash_nn(spark, sf_dir):
     """SimHash prefix-block near-dup candidates with Hamming distance."""
     docs = _t(spark, sf_dir, "documents")
@@ -1288,6 +1316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": q_brand_revenue,
     "supplier_volume": q_supplier_volume,
     "dedup_exact": q_dedup_exact,
+    "dedup_components": q_dedup_components,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_guess": q_lang_guess,
@@ -1333,6 +1362,7 @@ ORACLES: dict[str, str] = {
     "brand_revenue": SQL_BRAND_REVENUE,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_guess": _sql_lang_guess(),

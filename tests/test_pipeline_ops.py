@@ -163,3 +163,35 @@ def test_compress_roundtrip_bitexact(spark, transcripts):
         (F.sum("raw_bytes") / F.sum("enc_bytes")).alias("r")
     ).collect()[0]["r"]
     assert ratio > 1.2
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must resolve transitive chains (1-2-3-4),
+    separate islands, and leave unpaired nodes out of the edge set."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_a": [2, 3, 1, 10], "doc_b": [3, 4, 2, 11]}
+        )
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_canonical_ids(spark, docs):
+    out = D.dedup_components(docs, num_hashes=8, bands=4)
+    rows = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    # every doc present exactly once, canonical <= doc_id's component members
+    assert len(rows) == docs.count()
+    assert all(c <= d for d, c in rows.items())
+    # known near-dups from the fixture share a component
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    for a, b in cands:
+        assert rows[a] == rows[b]
