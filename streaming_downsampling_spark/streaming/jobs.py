@@ -67,6 +67,30 @@ def tier_agg_stream(
     )
 
 
+def write_json_feed(df: DataFrame, out_dir: str, files: int = 6) -> None:
+    """Producer side of the reference's JSON wire format
+    (/root/reference/core/streaming_pipeline.py:57-85,172-192): turns
+    serialized as JSON records into time-range-ordered files (the file-queue
+    stand-in for Kafka topic partitions; gzip/batching knobs live on the
+    writer).  Non-finite doubles sanitize to 0.0 at serialization, the
+    serializer's rule."""
+    clean = df
+    for f_name, dt in [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]:
+        if dt == "double":
+            clean = clean.withColumn(
+                f_name,
+                F.when(
+                    F.isnan(f_name) | (F.abs(f_name) == float("inf")), F.lit(0.0)
+                ).otherwise(F.col(f_name)),
+            )
+    (
+        clean.repartitionByRange(files, "ts")
+        .write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(out_dir)
+    )
+
+
 def run_tier_stream(
     spark: SparkSession,
     source_dir: str,
@@ -80,21 +104,34 @@ def run_tier_stream(
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 4,
     schema=None,
+    source_format: str = "parquet",
     lineage: LineageLog | None = None,
 ) -> dict:
     """Run one bounded (AvailableNow) pass of the tier stream.
 
     Each micro-batch MERGEs into the warehouse table keyed on
     (key, window_start) — re-running after a kill cannot duplicate windows.
-    Returns run stats.
+    ``source_format="json"`` consumes the reference's JSON wire format
+    (each record deserialized with the stream schema — S7 semantics:
+    malformed records parse to nulls instead of crashing the job); swapping
+    in Kafka is the same one-line source change.  Returns run stats.
     """
     if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
+        schema = spark.read.format(source_format).load(source_dir).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    src = (
+        reader.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(source_dir)
+        if source_format == "json"
+        else reader.parquet(source_dir)
+    )
+    # P4 type coercion: a JSON feed with an inferred string event-time (or a
+    # producer that wrote ISO strings) is coerced, not crashed on
+    if dict(src.dtypes).get(ts_col) != "timestamp":
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     src = src.withColumn("value", F.length(F.col(text_col)).cast("double"))
     agg = tier_agg_stream(src, tier, key_col=key_col, ts_col=ts_col)
 

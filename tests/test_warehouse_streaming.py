@@ -255,3 +255,32 @@ def test_refresh_tier_cascade_matches_batch(spark, wh, tmp_path, stream_source):
     assert out2["partitions_read"] == len(days) - len(days) // 2
     got2 = wh.read("r1h_c").select(*cols).orderBy("key", "window_start").toPandas()
     pd.testing.assert_frame_equal(got2, exp, check_exact=True)
+
+
+def test_json_wire_stream_matches_batch(spark, wh, tmp_path, stream_source):
+    """The reference's JSON wire format end-to-end: produce turns as JSON
+    files (serializer: non-finite → 0.0), consume with the json streaming
+    source, and the resulting tier table must equal the batch rollup."""
+    import pandas as pd
+
+    from streaming_downsampling_spark.streaming.jobs import write_json_feed
+
+    src_dir, tbl = stream_source
+    batch_df = spark.createDataFrame(tbl.to_pandas())
+    feed = str(tmp_path / "json_feed")
+    write_json_feed(batch_df, feed, files=5)
+
+    stats = run_tier_stream(
+        spark, feed, str(tmp_path / "ckj"), wh, table="r1m_j", tier="1m",
+        watermark="3650 days", source_format="json",
+    )
+    assert stats["rows_merged"] > 0
+    cols = ["key", "window_start", "n_points", "sum_value", "min_value", "max_value"]
+    got = wh.read("r1m_j").select(*cols).orderBy("key", "window_start").toPandas()
+    exp = (
+        rollup(with_signal(batch_df), "1m")
+        .select(*cols)
+        .orderBy("key", "window_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
