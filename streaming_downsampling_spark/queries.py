@@ -28,7 +28,7 @@ from .operators.downsample import (
     downsample_select,
 )
 from .operators.gapfill import gapfill
-from .operators.multimodal import extract_features, synth_media
+from .operators.multimodal import extract_features, frame_sample_plan, synth_media
 from .operators.rollup import cascade, rollup
 
 
@@ -1282,6 +1282,31 @@ def q_downsample_error_bench(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling *plan* (which timestamps to decode per
+    video) over a deterministic media projection of the documents table —
+    pure relational sequence/explode, so the expensive decode later touches
+    only these rows.  Oracled: the media attributes derive arithmetically
+    from documents, visible to both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        ((F.col("n_chars") * 37) % 60000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, (n_chars * 37) % 60000, 1000)) AS frame_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature extraction
     (decode stubbed deterministically; Spark-side shapes real)."""
@@ -1335,6 +1360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_n_buffer": q_last_n_buffer,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
+    "frame_sample": q_frame_sample,
     # Spark-only (rows-only correctness check): frozen-attention model and
     # the multi-metric reconstruction bench have no SQL twin
     "model_downsample": q_model_downsample,
@@ -1381,4 +1407,5 @@ ORACLES: dict[str, str] = {
     "last_n_buffer": SQL_LAST_N,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
+    "frame_sample": SQL_FRAME_SAMPLE,
 }
