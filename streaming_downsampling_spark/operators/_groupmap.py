@@ -23,24 +23,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def sorted_group_map(
+def prepare_sorted(
     df: DataFrame,
     window: str,
     key_col: str,
     ts_col: str,
     value_col: str,
     order_col: str | None,
-    frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    schema,
 ) -> DataFrame:
-    """Run ``frame_fn`` over sorted frames whose rows never split a
-    (key, window) group.
-
-    The prepared frame has columns ``key`` (string), ``window_start``
-    (timestamp), ``_ts``, ``_value`` (double), ``_ord`` (long; == row index
-    fallback when ``order_col`` is None).  ``frame_fn`` receives a frame
-    sorted by (key, window_start, _ord, _ts) containing only whole groups.
-    """
+    """The shuffle+sort half of :func:`sorted_group_map`, exposed so several
+    kernels over the SAME (key, window) grouping can share ONE prepared
+    (persisted) DataFrame — e.g. the tier-maintenance job runs the model
+    downsampler and the Gorilla encoder over identical day groups; sharing
+    the exchange halves the dominant shuffle I/O (Catalyst's ReusedExchange
+    does not fire across the two mapInPandas branches — verified on the
+    executed plan)."""
     w = F.window(ts_col, window)
     cols = [
         F.col(key_col).cast("string").alias("key"),
@@ -55,11 +52,20 @@ def sorted_group_map(
     # small shuffle down to one partition, serializing the Python kernel —
     # observed 7.6s → 1.5s on the model kernel at sf0.1 with this fix
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    prepared = (
+    return (
         df.select(*cols)
         .repartition(n_part, "key", "window_start")
         .sortWithinPartitions("key", "window_start", "_ord", "_ts")
     )
+
+
+def apply_sorted(
+    prepared: DataFrame,
+    frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """Run ``frame_fn`` over a :func:`prepare_sorted` DataFrame with the
+    cross-batch group-carry kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -84,6 +90,31 @@ def sorted_group_map(
                 yield out
 
     return prepared.mapInPandas(kernel, schema)
+
+
+def sorted_group_map(
+    df: DataFrame,
+    window: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str | None,
+    frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """Run ``frame_fn`` over sorted frames whose rows never split a
+    (key, window) group.
+
+    The prepared frame has columns ``key`` (string), ``window_start``
+    (timestamp), ``_ts``, ``_value`` (double), ``_ord`` (long; == row index
+    fallback when ``order_col`` is None).  ``frame_fn`` receives a frame
+    sorted by (key, window_start, _ord, _ts) containing only whole groups.
+    """
+    return apply_sorted(
+        prepare_sorted(df, window, key_col, ts_col, value_col, order_col),
+        frame_fn,
+        schema,
+    )
 
 
 def group_bounds(body: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

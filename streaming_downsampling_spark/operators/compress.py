@@ -120,6 +120,15 @@ def compress_chunks(
     """Encode each (key, tumbling window) group into one Gorilla chunk row."""
     from ._groupmap import sorted_group_map
 
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, encode_frame_fn(), CHUNK_SCHEMA
+    )
+
+
+def encode_frame_fn():
+    """The chunk-encode kernel as a prepared-frame function, for sharing one
+    ``prepare_sorted`` shuffle with other same-grouping kernels."""
+
     def encode_frame(body: pd.DataFrame) -> pd.DataFrame:
         """Encode every (key, window) run in a sorted frame — numpy boundary
         splits, no per-group pandas objects."""
@@ -150,9 +159,7 @@ def compress_chunks(
             )
         return pd.DataFrame(rows)
 
-    return sorted_group_map(
-        df, window, key_col, ts_col, value_col, order_col, encode_frame, CHUNK_SCHEMA
-    )
+    return encode_frame
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:

@@ -244,6 +244,26 @@ def downsample_model(
     """The reference model pipeline per group: DWT → pooled approximation +
     attention-selected detail coefficients
     (/root/reference/core/downsampling_algorithm2.py:279-339)."""
+    return sorted_group_map(
+        df,
+        window,
+        key_col,
+        ts_col,
+        value_col,
+        order_col,
+        model_frame_fn(wavelet, retention, approx_ds_factor, seed),
+        MODEL_SCHEMA,
+    )
+
+
+def model_frame_fn(
+    wavelet: str = "db4",
+    retention: float = 0.8,
+    approx_ds_factor: int = 2,
+    seed: int = 42,
+):
+    """The model kernel as a prepared-frame function, for sharing one
+    ``prepare_sorted`` shuffle with other same-grouping kernels."""
 
     def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
         bounds, keys, ws = group_bounds(body)
@@ -298,6 +318,4 @@ def downsample_model(
             }
         )
 
-    return sorted_group_map(
-        df, window, key_col, ts_col, value_col, order_col, frame_fn, MODEL_SCHEMA
-    )
+    return frame_fn
