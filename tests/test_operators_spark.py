@@ -194,3 +194,38 @@ def test_time_spine_sliced_equals_dense(spark):
     assert got["long"]["n"] == expected_long
     assert got["long"]["lo"] == base.replace(second=0)
     assert got["long"]["hi"] == (base + dt.timedelta(days=59, hours=5)).replace(second=0)
+
+
+def test_ecg_loader_format(spark, tmp_path):
+    """ECG200-format (label + whitespace floats per line) loads into the
+    long form with the implicit integer time axis; malformed tokens coerce
+    to null, blank lines drop."""
+    p = tmp_path / "ecg.txt"
+    p.write_text(
+        "1.0  0.5 -0.25 2.0\n"
+        "-1.0  3.5 4.5\n"
+        "\n"
+        "1.0  bad 7.0\n"
+    )
+    from streaming_downsampling_spark.sources.ecg import load_ecg
+
+    rows = load_ecg(spark, str(p)).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["series_id"], {"label": r["label"], "pts": {}})
+        series[r["series_id"]]["pts"][r["idx"]] = r["value"]
+    payloads = sorted(
+        (
+            (s["label"], tuple(s["pts"][i] for i in sorted(s["pts"])))
+            for s in series.values()
+        ),
+        key=repr,
+    )
+    assert payloads == sorted(
+        [
+            (-1.0, (3.5, 4.5)),
+            (1.0, (None, 7.0)),  # 'bad' -> null (P4 coercion)
+            (1.0, (0.5, -0.25, 2.0)),
+        ],
+        key=repr,
+    )
