@@ -1309,12 +1309,51 @@ FROM documents WHERE doc_id % 3 = 2
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature extraction
-    (decode stubbed deterministically; Spark-side shapes real)."""
-    media = synth_media(spark, n=200)
+    (decode stubbed deterministically; Spark-side shapes real).
+
+    The payload is derived deterministically from the documents table
+    (variable-length ASCII-hex of md5(text)) so the byte-level features are
+    reproducible by the DuckDB oracle; the real-data path (opaque random
+    bytes via synth_media) is exercised in tests/test_multimodal.py.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.expr(
+            "cast(substring(repeat(md5(text), 2), 1, cast(32 + doc_id % 29 as int)) as binary)"
+        ).alias("payload"),
+    )
     feats = extract_features(media, dim=8)
     return feats.select(
         "media_id", "kind", "n_bytes", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias("feat_sum")
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         substr(repeat(md5(text), 2), 1, CAST(32 + doc_id % 29 AS INT)) AS s
+  FROM documents
+), b AS (
+  SELECT media_id, kind, length(s) AS L, i, ord(substr(s, CAST(i AS INT), 1)) AS byte
+  FROM m, unnest(generate_series(1, length(s))) AS t(i)
+), c AS (
+  SELECT media_id, kind, L,
+         CASE WHEN (i-1) < (L % 8) * (L // 8 + 1)
+              THEN (i-1) // (L // 8 + 1)
+              ELSE (L % 8) + ((i-1) - (L % 8) * (L // 8 + 1)) // (L // 8) END AS chunk,
+         byte FROM b
+), cm AS (
+  SELECT media_id, kind, L, chunk, avg(byte)/255.0 AS cmean FROM c GROUP BY media_id, kind, L, chunk
+)
+SELECT media_id, kind, CAST(L AS BIGINT) AS n_bytes, round(sum(cmean), 6) AS feat_sum
+FROM cm GROUP BY media_id, kind, L
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1361,11 +1400,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
+    "multimodal_features": q_multimodal_features,
     # Spark-only (rows-only correctness check): frozen-attention model and
     # the multi-metric reconstruction bench have no SQL twin
     "model_downsample": q_model_downsample,
     "downsample_error_bench": q_downsample_error_bench,
-    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1408,4 +1447,5 @@ ORACLES: dict[str, str] = {
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
