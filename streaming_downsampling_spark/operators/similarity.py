@@ -198,3 +198,126 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def centroid_literals(dim: int, n_cells: int, seed: int = 7) -> np.ndarray:
+    """Seeded unit-norm centroids for the IVF coarse quantizer, exposed so
+    external oracles (the DuckDB gate) can embed the exact same constants.
+    Random unit centroids are the stateless stand-in for trained k-means
+    centroids; swapping in trained ones is a constant swap, not a plan
+    change."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_projections(vec_col: str, centroids: np.ndarray):
+    """Array of round-6 dot products against every centroid (JVM-side).
+
+    Rounding before the argmax makes the cell assignment reproducible across
+    engines (last-ulp fold differences can't flip the winner); ties break to
+    the lowest cell index on both sides."""
+    return F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell per vector.
+
+    Cosine assignment — argmax of dot(v, ĉ_i) (the vector's own norm is
+    cell-invariant, so raw dots rank identically).  At write time this is
+    the partition/bucket column: co-locating a cell's vectors turns every
+    probe into a partition-pruned scan instead of a full pass.
+    """
+    cents = centroid_literals(dim, n_cells, seed)
+    return (
+        embeddings.withColumn("_pr", _cell_projections(vec_col, cents))
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_pr"), F.array_max("_pr")) - 1).cast("int"),
+        )
+        .drop("_pr")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-Flat approximate NN: probe the ``nprobe`` nearest cells per query,
+    brute-force cosine only inside them.
+
+    The 100 TB shape: the corpus is quantized once (``ivf_assign``, ideally a
+    write-time partition column), each query joins only its probed cells —
+    candidate count is ~N·nprobe/n_cells, and because every corpus vector
+    lives in exactly one cell the probe join can't duplicate a neighbor, so
+    no distinct pass.  Queries are broadcast; the big side streams.
+    Output: (query_id, neighbor_id, rank, cos) — approximate recall.
+    """
+    cents = centroid_literals(dim, n_cells, seed)
+    eb = ivf_assign(embeddings, dim, n_cells, id_col, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"), "cell"
+    )
+    qp = (
+        queries.withColumn("_pr", _cell_projections(vec_col, cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.posexplode("_pr").alias("cell", "p"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("p").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", F.col("cell").cast("int").alias("cell"))
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("ev")) / (_norm(F.col("qv")) * _norm(F.col("ev"))), 6
+    )
+    scored = (
+        eb.join(F.broadcast(qp), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

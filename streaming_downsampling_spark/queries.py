@@ -1225,6 +1225,44 @@ SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF-Flat approximate cosine top-k: seeded unit-norm coarse centroids,
+    one-cell assignment per corpus vector, nprobe=2 probed cells per query —
+    the partition-pruned ANN scale path next to hyperplane LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, n_cells=8, nprobe=2
+    )
+
+
+def _sql_ivf_ann(dim: int = 64, n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    cents = S.centroid_literals(dim, n_cells)
+    values = ",\n  ".join(
+        "({i}, [{lits}]::DOUBLE[])".format(
+            i=i, lits=", ".join(repr(float(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES
+  {values}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (SELECT vec_id, v, cell, round(list_dot_product(v, cv), 6) AS p,
+              row_number() OVER (PARTITION BY vec_id ORDER BY round(list_dot_product(v, cv), 6) DESC, cell) AS rn
+       FROM e, cent),
+asn AS (SELECT vec_id AS neighbor_id, v AS ev, cell FROM pr WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, v AS qv, cell FROM pr WHERE vec_id < 5 AND rn <= {nprobe}),
+s AS (SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))), 6) AS cos
+      FROM qp JOIN asn USING (cell) WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-only queries (no SQL equivalent → driver rows-only check)
 # ---------------------------------------------------------------------------
@@ -1394,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_nn": q_simhash_nn,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "json_roundtrip": q_json_roundtrip,
     "zscore_normalize": q_zscore_normalize,
     "last_n_buffer": q_last_n_buffer,
@@ -1441,6 +1480,7 @@ ORACLES: dict[str, str] = {
     "simhash_nn": _sql_simhash_nn(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lsh_ann": _sql_lsh_ann(),
+    "ivf_ann": _sql_ivf_ann(),
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "zscore_normalize": SQL_ZSCORE,
     "last_n_buffer": SQL_LAST_N,

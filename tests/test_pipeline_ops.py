@@ -195,3 +195,33 @@ def test_dedup_components_canonical_ids(spark, docs):
     }
     for a, b in cands:
         assert rows[a] == rows[b]
+
+
+def test_ivf_assign_one_cell_per_vector(spark, emb):
+    asn = S.ivf_assign(emb, dim=16, n_cells=4).collect()
+    assert len(asn) == 20  # exactly one row (one cell) per vector
+    assert all(0 <= r["cell"] < 4 for r in asn)
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """On data clustered tightly around the IVF centroids themselves,
+    nprobe=1 IVF top-k must equal brute-force top-k (neighbors share the
+    query's cell), and the colinear pair ranks first with cosine 1."""
+    cents = S.centroid_literals(16, 4)
+    rng = np.random.default_rng(1)
+    vecs = np.repeat(cents, 6, axis=0) + rng.normal(scale=0.02, size=(24, 16))
+    vecs[1] = vecs[0] * 3.0  # colinear with 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(24, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") % 6 == 0)  # one query per cluster
+    ivf = S.ivf_topk(df, q, dim=16, k=3, n_cells=4, nprobe=1).collect()
+    brute = S.cosine_topk(df, q, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])  # noqa: E731
+    assert sorted(map(key, ivf)) == sorted(map(key, brute))
+    first = {r["query_id"]: r for r in ivf if r["rank"] == 1}
+    assert first[0]["neighbor_id"] == 1 and first[0]["cos"] == 1.0
