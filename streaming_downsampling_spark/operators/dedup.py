@@ -13,18 +13,40 @@ candidate pair verification joins only within buckets — never a cross join.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
-# MinHash permutations: the i-th hash function is a seeded-domain-separated
-# hash of the shingle — all-long JVM arithmetic; the classic (a*h+b) mod p
-# formulation needs 128-bit math, which forces slow decimal(38,0)
-# expressions in Spark.  Two hash families:
-#   * xxhash64 (default): fastest JVM-native path for production runs;
-#   * md5: first 15 hex chars of md5 as a 60-bit long — bit-identical
-#     reproducible in any engine with md5 (DuckDB: CAST('0x'||substr(md5(x),
-#     1,15) AS BIGINT)), which is what lets the correctness gate run the
-#     very same LSH pipeline as a SQL oracle.  Same operator shape either
-#     way; the hash family is a constant factor.
+from ._spread import spread
+
+# MinHash permutations — two hash families:
+#   * xxhash64 (default): the i-th hash is a seeded-domain-separated
+#     xxhash64 of the shingle — fastest JVM-native path for production runs;
+#   * md5: ONE md5 per shingle (first 8 hex chars → 32-bit base), then
+#     ``num_hashes`` affine permutations (a_i·h + b_i) mod 2³² with odd a_i —
+#     true bijections of the 32-bit domain (the textbook MinHash
+#     formulation), all plain 64-bit arithmetic (a_i < 2³¹ keeps the product
+#     under 2⁶³, ANSI-safe).  Bit-identical reproducible in any engine with
+#     md5 (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT) then the same
+#     arithmetic), which is what lets the correctness gate run the very same
+#     LSH pipeline as a SQL oracle.  Same operator shape either way.
+
+
+def affine_constants(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the md5-family affine permutations.
+
+    Derived from md5 of the (seed, index) pair — stable across Python
+    versions and engines (no stdlib RNG).  a is odd and < 2³¹ so a·h fits a
+    signed 64-bit int for any 32-bit h; b < 2³².  Both the Spark operator and
+    the DuckDB oracle SQL builder inline these very constants.
+    """
+    consts = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"mh:{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") & 0x7FFFFFFF) | 1
+        b = int.from_bytes(d[4:8], "big")
+        consts.append((a, b))
+    return consts
 
 
 def _md5_long(col):
@@ -60,7 +82,12 @@ def exact_dedup(
 def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Word n-gram shingles, exploded: (id, shingle)."""
+    """Word n-gram shingles, exploded: (id, shingle).
+
+    The input is spread across cores first: downstream hashing is per-shingle
+    expensive, and a single-file scan would otherwise pin the whole explode
+    to one task (no-op on inputs that already have enough splits).
+    """
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -68,7 +95,9 @@ def shingles(
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
-    return df.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
+    return spread(df).select(
+        id_col, F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -89,29 +118,25 @@ def minhash_signatures(
     """
     sh = shingles(df, text_col, id_col, n=shingle_n)
     if hash_fn == "md5":
-        # two independent 60-bit lanes per md5 (hex chars 1-15 and 17-31),
-        # kept as strings: lexicographic min over fixed-width hex equals
-        # numeric min, is engine-portable, and skips the hex→decimal conv()
-        # that measured ~2× the md5 cost itself.  The md5 strings are
-        # materialized in their own projection so each is computed once for
-        # both lanes regardless of codegen CSE.
-        n_md5 = (num_hashes + 1) // 2
-        with_md5 = sh.select(
+        # one md5 per shingle (32-bit base, materialized in its own
+        # projection so it's computed once regardless of codegen CSE), then
+        # num_hashes affine bijections of the 32-bit domain — 8× less
+        # hashing than one md5 per lane, identical arithmetic in DuckDB.
+        base = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        with_base = sh.select(id_col, base.alias("bh"))
+        hashed = with_base.select(
             id_col,
             *[
-                F.md5(F.concat(F.lit(f"{seed + j}|"), F.col("shingle"))).alias(
-                    f"m_{j}"
-                )
-                for j in range(n_md5)
-            ],
-        )
-        hashed = with_md5.select(
-            id_col,
-            *[
-                F.substring(f"m_{i // 2}", 1 if i % 2 == 0 else 17, 15).alias(
-                    f"h_{i}"
-                )
-                for i in range(num_hashes)
+                (F.lit(a) * F.col("bh") + F.lit(b))
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+                .alias(f"h_{i}")
+                for i, (a, b) in enumerate(affine_constants(num_hashes, seed))
             ],
         )
     else:
@@ -167,8 +192,19 @@ def lsh_candidates(
     banded = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # Materialize the banded signatures before self-joining: they are tiny
+    # relative to the input (bands rows of (id, band, bucket) per doc vs the
+    # full shingle fan-out), and without this the scan→shingle→hash→agg
+    # pipeline runs once per join side — the two sides' exchange stages can
+    # even race, so a lazy cache doesn't dedup the work.  Persisted
+    # MEMORY_AND_DISK, so at scale it spills rather than OOMs.
+    banded = banded.persist()
+    banded.count()
+    # shuffle join, never broadcast: both sides are the SAME banded table —
+    # at scale broadcasting it would ship the whole signature set to every
+    # executor.
     left = banded.alias("l")
-    right = banded.alias("r")
+    right = banded.alias("r").hint("shuffle_hash")
     return (
         left.join(
             right,
@@ -239,7 +275,7 @@ def simhash(
     N conditional sums → bit reassembly — one shuffle, map-side combined.
     """
     nbits = simhash_bits(hash_fn)
-    words = df.select(
+    words = spread(df).select(
         id_col,
         F.explode(
             F.filter(
@@ -317,11 +353,16 @@ def connected_components(
 
     Output: (node, component) for every node appearing in ``pairs``.
     """
-    e = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        # the edge set is read once per round: persist it, or every round
+        # recomputes the whole upstream candidate pipeline
+        .persist()
+    )
     labels = (
         e.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -355,6 +396,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    e.unpersist()
     return labels
 
 

@@ -1066,10 +1066,10 @@ sh AS (SELECT doc_id,
 
 def _sql_minhash_band_ctes(num_hashes: int, bands: int, seed: int = 42) -> str:
     rows = num_hashes // bands
+    consts = D.affine_constants(num_hashes, seed)
     mins = ",\n             ".join(
-        f"min(substr(md5('{seed + i // 2}|' || shingle), "
-        f"{1 if i % 2 == 0 else 17}, 15)) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min(({a} * bh + {b}) & 4294967295) AS mh_{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_sel = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
@@ -1081,7 +1081,10 @@ def _sql_minhash_band_ctes(num_hashes: int, bands: int, seed: int = 42) -> str:
         for b in range(bands)
     )
     return f"""{_SQL_SHINGLE_CTES},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY 1),
+shb AS (SELECT doc_id,
+               CAST('0x' || substr(md5('{seed}|' || shingle), 1, 8) AS BIGINT) AS bh
+        FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY 1),
 bands AS ({band_sel}),
 cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
