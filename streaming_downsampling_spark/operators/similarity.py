@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._spread import spread
+
 
 def _dot(a, b):
     # cast each element to double BEFORE multiplying: float32 multiply then
@@ -54,7 +56,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    e = embeddings.select(
+    e = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
     )
     cos = _dot(F.col("qv"), F.col("ev")) / (_norm(F.col("qv")) * _norm(F.col("ev")))
@@ -110,7 +112,7 @@ def hyperplane_lsh_buckets(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return embeddings.select(
+    return spread(embeddings).select(
         id_col, vec_col, *(keep_cols or []), bucket.alias("bucket")
     )
 
@@ -135,7 +137,13 @@ def lsh_near_dup_pairs(
     Output: (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
     """
     b = hyperplane_lsh_buckets(embeddings, dim, n_planes, id_col, vec_col, seed)
-    a, c = b.alias("a"), b.alias("b")
+    # materialize buckets before the self-join — otherwise each side
+    # recomputes every plane projection (no exchange reuse across the join),
+    # and force a shuffle join: broadcasting the whole bucketed corpus is
+    # wrong at scale (same rationale as dedup.lsh_candidates)
+    b = b.persist()
+    b.count()
+    a, c = b.alias("a"), b.alias("b").hint("shuffle_hash")
     cos = F.round(
         _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
         / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
@@ -253,7 +261,7 @@ def ivf_assign(
     """
     cents = centroid_literals(dim, n_cells, seed)
     return (
-        embeddings.withColumn("_pr", _cell_projections(vec_col, cents))
+        spread(embeddings).withColumn("_pr", _cell_projections(vec_col, cents))
         .withColumn(
             "cell",
             (F.array_position(F.col("_pr"), F.array_max("_pr")) - 1).cast("int"),
