@@ -679,6 +679,142 @@ SELECT event_type, rn, event_id, value FROM (
 """
 
 
+def _drive_bounded_stream(spark, sf_dir, op, name):
+    """Run a stateful streaming operator over the events table as a REAL
+    bounded stream: 3 range-split files, one micro-batch each
+    (maxFilesPerTrigger=1), so per-group state must carry across batches.
+    Memory sink in update mode appends every emission; the caller keeps the
+    final one per group.  Returns the raw emissions table."""
+    # tz-naive parquet reads as TIMESTAMP_NTZ, which watermarks reject; the
+    # session tz is UTC, so the cast preserves wall-clock values
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"/tmp/sds_stream_src_{abs(hash(sf_dir)) % 10**8}"
+    ev.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    spark.catalog.dropTempView(name)
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+def q_stateful_tier(spark, sf_dir):
+    """ST: arbitrary-state tier aggregate (``applyInPandasWithState``) with
+    true first/last-by-order, driven as a bounded multi-batch stream.  The
+    oracle is the plain batch SQL aggregate — passing proves the cross-batch
+    state fold converges to exactly the declarative semantics."""
+    from pyspark.sql import Window
+
+    from .streaming.stateful import stateful_tier_stream
+
+    m = _drive_bounded_stream(
+        spark,
+        sf_dir,
+        lambda s: stateful_tier_stream(
+            s,
+            "1h",
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            order_col="event_id",
+            watermark="3650 days",
+        ),
+        "stateful_tier_mem",
+    )
+    w = Window.partitionBy("key", "window_start").orderBy(F.col("n_points").desc())
+    final = m.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return final.select(
+        F.col("key").alias("event_type"),
+        "window_start",
+        F.col("n_points").alias("n"),
+        F.round("sum_value", 6).alias("sum_value"),
+        _avg6("sum_value", "n_points").alias("avg_value"),
+        "min_value",
+        "max_value",
+        "first_value",
+        "last_value",
+    )
+
+
+SQL_STATEFUL_TIER = """
+SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(round(sum(value) * 100) / count(*) / 100.0, 6) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stateful_last_n(spark, sf_dir):
+    """ST/T7: the live-monitor ring (``streaming_last_n``) driven as a
+    bounded multi-batch stream, exploded to scalar rows.  Ties on ts break by
+    event_id, so the ring is deterministic under any batch split; the oracle
+    is the batch last-15-per-key window query."""
+    from pyspark.sql import Window
+
+    from .streaming.stateful import streaming_last_n
+
+    m = _drive_bounded_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_last_n(
+            s,
+            n=15,
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            order_col="event_id",
+            watermark="3650 days",
+        ),
+        "stateful_lastn_mem",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+    final = m.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    z = final.select(
+        "key",
+        "n_seen",
+        F.posexplode(F.arrays_zip("buf_ts", "buf_values")).alias("pos0", "pt"),
+    )
+    return z.select(
+        F.col("key").alias("event_type"),
+        "n_seen",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("pt.buf_ts").alias("ts_us"),
+        F.col("pt.buf_values").alias("value"),
+    )
+
+
+SQL_STATEFUL_LAST_N = """
+WITH r AS (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY event_type) AS n_all
+  FROM events)
+SELECT event_type, n_all AS n_seen,
+       least(n_all, 15) - rd + 1 AS pos,
+       epoch_us(ts) AS ts_us, value
+FROM r WHERE rd <= 15
+"""
+
+
 def q_noise_augment(spark, sf_dir):
     """P5: Gaussian-ish noise augmentation, x + σ·z
     (/root/reference/main.py:82-85).  z is Irwin–Hall(12)−6 over hash
@@ -1439,6 +1575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_roundtrip": q_json_roundtrip,
     "zscore_normalize": q_zscore_normalize,
     "last_n_buffer": q_last_n_buffer,
+    "stateful_tier": q_stateful_tier,
+    "stateful_last_n": q_stateful_last_n,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1487,6 +1625,8 @@ ORACLES: dict[str, str] = {
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "zscore_normalize": SQL_ZSCORE,
     "last_n_buffer": SQL_LAST_N,
+    "stateful_tier": SQL_STATEFUL_TIER,
+    "stateful_last_n": SQL_STATEFUL_LAST_N,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,

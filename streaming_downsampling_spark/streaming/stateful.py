@@ -88,9 +88,18 @@ def stateful_tier_stream(
             if l_o is None or int(o.loc[i_last]) > l_o:
                 l_o, l_v = int(o.loc[i_last]), float(v.loc[i_last])
         state.update((n, s, mn, mx, f_o, f_v, l_o, l_v))
-        # evict one tier-width past the window start; the watermark already
-        # lags event time, so this fires only once the window can't change
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        # evict when the event-time watermark passes the window END — exactly
+        # the moment the window can no longer change.  NOT watermark+1: that
+        # fires after any batch in which the group gets no data (the watermark
+        # keeps advancing), wiping accumulated state mid-stream for windows
+        # whose rows span non-adjacent batches.  Spark requires the timeout
+        # to sit above the current watermark, hence the max().
+        wend_ms = int(
+            (pd.Timestamp(wstart) + pd.Timedelta(TIERS[tier])).value // 10**6
+        )
+        state.setTimeoutTimestamp(
+            max(wend_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 "key": [k],
@@ -124,7 +133,10 @@ def stateful_tier_stream(
 _LASTN_OUT_SCHEMA = (
     "key string, n_seen long, buf_ts array<long>, buf_values array<double>"
 )
-_LASTN_STATE_SCHEMA = "n_seen long, buf_ts array<long>, buf_values array<double>"
+_LASTN_STATE_SCHEMA = (
+    "n_seen long, buf_ts array<long>, buf_ord array<long>, "
+    "buf_values array<double>"
+)
 
 
 def streaming_last_n(
@@ -133,15 +145,18 @@ def streaming_last_n(
     key_col: str = "conv_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str | None = None,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Per-key buffer of the latest ``n`` points across micro-batches — the
     reference's live-monitor ``deque(maxlen=15)`` as a streaming operator.
 
-    Each update emits one row per key holding the current ring (ts ascending,
-    ties broken by arrival order), so a dashboard query is a point lookup.
-    State is the bounded ring itself: O(n) per key, no timeout needed — the
-    ring can always absorb a newer point; keys idle forever cost n cells.
+    Each update emits one row per key holding the current ring (ts ascending;
+    ties broken by ``order_col`` when given — making the ring deterministic
+    under any batch split — else by arrival order), so a dashboard query is a
+    point lookup.  State is the bounded ring itself: O(n) per key, no timeout
+    needed — the ring can always absorb a newer point; keys idle forever cost
+    n cells.
     """
 
     def fold(
@@ -151,8 +166,8 @@ def streaming_last_n(
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
         if state.exists:
-            n_seen, buf_ts, buf_vs = state.get
-            buf = list(zip(buf_ts, buf_vs))
+            n_seen, buf_ts, buf_ord, buf_vs = state.get
+            buf = list(zip(buf_ts, buf_ord, buf_vs))
         else:
             n_seen, buf = 0, []
         for pdf in pdfs:
@@ -162,16 +177,27 @@ def streaming_last_n(
                 pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
             ).tolist()
             vs = pdf[value_col].astype("float64").tolist()
-            rows = sorted(zip(ts_us, vs), key=lambda r: r[0])
+            if order_col is not None:
+                ords = pdf[order_col].astype("int64").tolist()
+            else:
+                ords = [0] * len(vs)
+            rows = list(zip(ts_us, ords, vs))
             n_seen += len(rows)
-            buf = sorted(buf + rows, key=lambda r: r[0])[-n:]
-        state.update((n_seen, [t for t, _ in buf], [v for _, v in buf]))
+            buf = sorted(buf + rows, key=lambda r: (r[0], r[1]))[-n:]
+        state.update(
+            (
+                n_seen,
+                [t for t, _, _ in buf],
+                [o for _, o, _ in buf],
+                [v for _, _, v in buf],
+            )
+        )
         yield pd.DataFrame(
             {
                 "key": [k],
                 "n_seen": [n_seen],
-                "buf_ts": [[t for t, _ in buf]],
-                "buf_values": [[v for _, v in buf]],
+                "buf_ts": [[t for t, _, _ in buf]],
+                "buf_values": [[v for _, _, v in buf]],
             }
         )
 
@@ -179,6 +205,7 @@ def streaming_last_n(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias(ts_col),
         F.col(value_col).cast("double").alias(value_col),
+        *([F.col(order_col).cast("long").alias(order_col)] if order_col else []),
     )
     return keyed.groupBy("key").applyInPandasWithState(
         fold,
