@@ -157,3 +157,43 @@ def rollup_salted(
         )
         .withColumn("avg_value", F.col("sum_value") / F.col("n_points"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows: a key's consecutive points merge into one session
+    while each arrives within ``gap`` of the previous — up to and INCLUDING
+    last_ts + gap (Spark ``session_window`` semantics, verified: a point
+    exactly at the session end still chains; only a strictly larger silence
+    starts a new session, and the emitted end is last_ts + gap).  The
+    reference has no sessionization; this is the inactivity-gap operator any
+    event/transcript timeline needs (visits, conversations, incident
+    episodes).
+
+    Declarative ``F.session_window`` — Catalyst plans it as a single
+    hash-partition-by-key + in-partition merge-sort of sessions: one shuffle
+    on the key, no UDF, skew bounded by the hottest key (salt upstream if a
+    single key dominates).  Output: (key, session_start, session_end,
+    n_events, sum_value).
+    """
+    return (
+        df.groupBy(
+            F.col(key_col).alias("key"), F.session_window(ts_col, gap)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            "key",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -815,6 +815,45 @@ FROM r WHERE rd <= 15
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (``F.session_window``): per-user
+    sessions split by >= 30 min of silence.  Oracle is the classic
+    gaps-and-islands SQL (lag + cumulative break-sum), so the declarative
+    session merge is hash-verified against the relational definition."""
+    from .operators.rollup import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, gap="30 minutes", key_col="user_id", ts_col="ts", value_col="value"
+    ).select(
+        F.col("key").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+  FROM x)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM y GROUP BY user_id, sid
+"""
+
+
 def q_noise_augment(spark, sf_dir):
     """P5: Gaussian-ish noise augmentation, x + σ·z
     (/root/reference/main.py:82-85).  z is Irwin–Hall(12)−6 over hash
@@ -1577,6 +1616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_n_buffer": q_last_n_buffer,
     "stateful_tier": q_stateful_tier,
     "stateful_last_n": q_stateful_last_n,
+    "sessionize": q_sessionize,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1627,6 +1667,7 @@ ORACLES: dict[str, str] = {
     "last_n_buffer": SQL_LAST_N,
     "stateful_tier": SQL_STATEFUL_TIER,
     "stateful_last_n": SQL_STATEFUL_LAST_N,
+    "sessionize": SQL_SESSIONIZE,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,

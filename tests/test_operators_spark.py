@@ -229,3 +229,33 @@ def test_ecg_loader_format(spark, tmp_path):
         ],
         key=repr,
     )
+
+
+def test_sessionize_gap_boundary(spark):
+    """Inactivity-gap semantics (verified against Spark's session_window):
+    a point up to and INCLUDING last_ts + gap chains the session; only a
+    strictly larger silence opens a new one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streaming_downsampling_spark.operators.rollup import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1.0),
+        ("u1", "2024-01-01 00:29:59", 1.0),  # 29m59s later -> chains
+        ("u1", "2024-01-01 00:59:59", 1.0),  # exactly at end -> still chains
+        ("u1", "2024-01-01 01:30:00", 1.0),  # 1s past end -> new session
+        ("u2", "2024-01-01 00:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap="30 minutes").collect()
+    got = sorted((r["key"], r["n_events"], r["sum_value"]) for r in out)
+    assert got == [("u1", 1, 1.0), ("u1", 3, 3.0), ("u2", 1, 2.0)]
+    ends = {
+        (r["key"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in out
+    }
+    s, e = ends[("u1", 3)]
+    assert (e - s).total_seconds() == 59 * 60 + 59 + 30 * 60
