@@ -834,8 +834,8 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-SQL_SESSIONIZE = """
-WITH x AS (
+_SQL_SESSION_CTES = """
+x AS (
   SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
@@ -846,12 +846,57 @@ y AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS sid
-  FROM x)
-SELECT user_id, min(ts) AS session_start,
-       max(ts) + INTERVAL '30 minutes' AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
-FROM y GROUP BY user_id, sid
+  FROM x),
+sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL '30 minutes' AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM y GROUP BY user_id, sid)"""
+
+SQL_SESSIONIZE = (
+    "WITH "
+    + _SQL_SESSION_CTES
+    + "\nSELECT user_id, session_start, session_end, n_events, sum_value FROM sess"
+)
+
+
+def q_interval_join(spark, sf_dir):
+    """Bin-bucketed interval-containment join: tag every error event with the
+    user session it falls into.  The Spark plan is an equi-join on
+    (user_id, hour-bin) — never a nested loop; the oracle is the plain
+    inequality join over the gaps-and-islands sessions."""
+    from .operators.interval import interval_join
+    from .operators.rollup import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, gap="30 minutes", key_col="user_id", ts_col="ts", value_col="value"
+    ).withColumnRenamed("key", "user_id")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        errors, sess, key="user_id", left_ts="ts",
+        right_start="session_start", right_end="session_end", bin="1 hour",
+    )
+    return out.select(
+        "event_id", "user_id", "session_start", "n_events",
+        F.col("sum_value").alias("session_sum"),
+    )
+
+
+SQL_INTERVAL_JOIN = (
+    "WITH "
+    + _SQL_SESSION_CTES
+    + """
+SELECT e.event_id, e.user_id, s.session_start, s.n_events,
+       s.sum_value AS session_sum
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts < s.session_end
+WHERE e.event_type = 'error'
 """
+)
 
 
 def q_noise_augment(spark, sf_dir):
@@ -1617,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_tier": q_stateful_tier,
     "stateful_last_n": q_stateful_last_n,
     "sessionize": q_sessionize,
+    "interval_join": q_interval_join,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1668,6 +1714,7 @@ ORACLES: dict[str, str] = {
     "stateful_tier": SQL_STATEFUL_TIER,
     "stateful_last_n": SQL_STATEFUL_LAST_N,
     "sessionize": SQL_SESSIONIZE,
+    "interval_join": SQL_INTERVAL_JOIN,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,

@@ -259,3 +259,37 @@ def test_sessionize_gap_boundary(spark):
     }
     s, e = ends[("u1", 3)]
     assert (e - s).total_seconds() == 59 * 60 + 59 + 30 * 60
+
+
+def test_interval_join_bins(spark):
+    """Containment across bin boundaries: an interval spanning several
+    1h bins matches events in any covered bin; half-open end excluded."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streaming_downsampling_spark.operators.interval import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "u1", "2024-01-01 00:10:00"),
+                (2, "u1", "2024-01-01 02:45:00"),  # later bin, same interval
+                (3, "u1", "2024-01-01 03:00:00"),  # exactly end -> excluded
+                (4, "u2", "2024-01-01 00:10:00"),  # other key
+            ],
+            columns=["event_id", "user_id", "ts"],
+        )
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            [("u1", "2024-01-01 00:00:00", "2024-01-01 03:00:00", "a")],
+            columns=["user_id", "start", "end", "tag"],
+        )
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = interval_join(
+        ev, iv, key="user_id", left_ts="ts", right_start="start",
+        right_end="end", bin="1 hour",
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
