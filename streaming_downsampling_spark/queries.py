@@ -899,6 +899,58 @@ WHERE e.event_type = 'error'
 )
 
 
+def q_distinct_per_window(spark, sf_dir):
+    """Distinct aggregation per tier window (absent from the reference —
+    SURVEY §2.3): distinct active users per event_type per hour.  Plans as
+    expand + two-phase hash agg; the count(*) rides along partially
+    aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("window_start")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_hourly(spark, sf_dir):
+    """Pivot: one row per hour, one count column per event_type.  Explicit
+    value list — no driver-side distinct scan, so the plan is a single
+    groupBy with conditional counts (scale-safe pivot)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("window_start"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "window_start",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+SQL_PIVOT_HOURLY = (
+    "SELECT date_trunc('hour', ts) AS window_start,\n"
+    + ",\n".join(
+        f"       count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY 1"
+)
+
+
 def q_noise_augment(spark, sf_dir):
     """P5: Gaussian-ish noise augmentation, x + σ·z
     (/root/reference/main.py:82-85).  z is Irwin–Hall(12)−6 over hash
@@ -1663,6 +1715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_last_n": q_stateful_last_n,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
+    "distinct_per_window": q_distinct_per_window,
+    "pivot_hourly": q_pivot_hourly,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1715,6 +1769,8 @@ ORACLES: dict[str, str] = {
     "stateful_last_n": SQL_STATEFUL_LAST_N,
     "sessionize": SQL_SESSIONIZE,
     "interval_join": SQL_INTERVAL_JOIN,
+    "distinct_per_window": SQL_DISTINCT_WINDOW,
+    "pivot_hourly": SQL_PIVOT_HOURLY,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
