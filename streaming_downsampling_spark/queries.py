@@ -899,6 +899,56 @@ WHERE e.event_type = 'error'
 )
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split by content-stable hash: each doc's
+    fate depends only on its id, never on partitioning or cluster size —
+    the property a 100 TB corpus split must have (re-runs and backfills land
+    every doc in the same split).  80/10/10 via one hash uniform."""
+    docs = _t(spark, sf_dir, "documents")
+    u = _u01("split", F.col("doc_id"))
+    split = (
+        F.when(u < _SPLIT_FRACS["train"], F.lit("train"))
+        .when(u < _SPLIT_FRACS["train"] + _SPLIT_FRACS["val"], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_u01('split', 'doc_id')} < 0.8 THEN 'train'
+            WHEN {_sql_u01('split', 'doc_id')} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: different keep-rates per event
+    type (rare classes kept at higher rates — the class-rebalancing sampler
+    of a training pipeline).  Hash-uniform acceptance, so the sample is
+    identical under any partitioning; no shuffle at all — a pure filter."""
+    ev = _t(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "error", F.lit(1.0))
+        .when(F.col("event_type") == "purchase", F.lit(0.5))
+        .otherwise(F.lit(0.05))
+    )
+    u = _u01("strat", F.col("event_id"))
+    return ev.filter(u < rate).select("event_id", "event_type", "value")
+
+
+SQL_STRATIFIED = f"""
+SELECT event_id, event_type, value FROM events
+WHERE {_sql_u01('strat', 'event_id')} <
+      CASE event_type WHEN 'error' THEN 1.0 WHEN 'purchase' THEN 0.5
+           ELSE 0.05 END
+"""
+
+
 def q_distinct_per_window(spark, sf_dir):
     """Distinct aggregation per tier window (absent from the reference —
     SURVEY §2.3): distinct active users per event_type per hour.  Plans as
@@ -1717,6 +1767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "distinct_per_window": q_distinct_per_window,
     "pivot_hourly": q_pivot_hourly,
+    "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1771,6 +1823,8 @@ ORACLES: dict[str, str] = {
     "interval_join": SQL_INTERVAL_JOIN,
     "distinct_per_window": SQL_DISTINCT_WINDOW,
     "pivot_hourly": SQL_PIVOT_HOURLY,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "stratified_sample": SQL_STRATIFIED,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
