@@ -225,3 +225,19 @@ def test_ivf_topk_clustered_recall(spark):
     assert sorted(map(key, ivf)) == sorted(map(key, brute))
     first = {r["query_id"]: r for r in ivf if r["rank"] == 1}
     assert first[0]["neighbor_id"] == 1 and first[0]["cos"] == 1.0
+
+
+def test_affine_constants_pinned():
+    """The md5-family affine permutation constants are inlined into BOTH the
+    Spark expressions and the generated DuckDB oracle SQL — pin them so a
+    refactor can't silently desynchronize the two sides."""
+    from streaming_downsampling_spark.operators.dedup import affine_constants
+
+    assert affine_constants(4, 42) == [
+        (754442395, 3738195813),
+        (641159995, 2450198490),
+        (403690955, 689141725),
+        (1797718865, 3221915970),
+    ]
+    for a, b in affine_constants(16, 42):
+        assert a % 2 == 1 and 0 < a < 2**31 and 0 <= b < 2**32
