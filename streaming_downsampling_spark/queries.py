@@ -949,6 +949,30 @@ WHERE {_sql_u01('strat', 'event_id')} <
 """
 
 
+def q_props_extract(spark, sf_dir):
+    """Semi-structured projection: JSON-path extraction from the events
+    ``props`` column (``get_json_object``), aggregated per type.  The
+    pushdown-friendly shape: extraction happens in the scan projection, the
+    agg is partial+final hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_distinct_per_window(spark, sf_dir):
     """Distinct aggregation per tier window (absent from the reference —
     SURVEY §2.3): distinct active users per event_type per hour.  Plans as
@@ -1769,6 +1793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_hourly": q_pivot_hourly,
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
+    "props_extract": q_props_extract,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1825,6 +1850,7 @@ ORACLES: dict[str, str] = {
     "pivot_hourly": SQL_PIVOT_HOURLY,
     "dataset_split": SQL_DATASET_SPLIT,
     "stratified_sample": SQL_STRATIFIED,
+    "props_extract": SQL_PROPS_EXTRACT,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
