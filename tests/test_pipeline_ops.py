@@ -241,3 +241,19 @@ def test_affine_constants_pinned():
     ]
     for a, b in affine_constants(16, 42):
         assert a % 2 == 1 and 0 < a < 2**31 and 0 <= b < 2**32
+
+
+def test_spread_is_noop_on_wide_input(spark):
+    """spread() fans a 1-partition scan out to default parallelism but must
+    NOT add a shuffle when the input already has enough partitions."""
+    from streaming_downsampling_spark.operators._spread import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism + 4
+    )
+    out = spread(wide)
+    assert out is wide  # same plan object: no repartition inserted
