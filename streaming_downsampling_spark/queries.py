@@ -973,6 +973,32 @@ FROM events GROUP BY 1
 """
 
 
+def q_percentiles_per_type(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p95/p99) per event type — the
+    standard observability aggregate.  Spark ``percentile`` and DuckDB
+    ``quantile_cont`` use the same (1−f)·lo + f·hi interpolation (verified
+    bit-identical on doubles); round-6 guards the residual ulp risk.  At
+    scale exact percentiles need a per-group sort — swap to
+    ``percentile_approx`` (t-digest, mergeable, no sort) when groups stop
+    fitting a partition; same query shape."""
+    ev = _t(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(p, 1), 6).alias("p50"),
+        F.round(F.element_at(p, 2), 6).alias("p95"),
+        F.round(F.element_at(p, 3), 6).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(value::DOUBLE, 0.95), 6) AS p95,
+       round(quantile_cont(value::DOUBLE, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def q_distinct_per_window(spark, sf_dir):
     """Distinct aggregation per tier window (absent from the reference —
     SURVEY §2.3): distinct active users per event_type per hour.  Plans as
@@ -1794,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
     "props_extract": q_props_extract,
+    "percentiles_per_type": q_percentiles_per_type,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1851,6 +1878,7 @@ ORACLES: dict[str, str] = {
     "dataset_split": SQL_DATASET_SPLIT,
     "stratified_sample": SQL_STRATIFIED,
     "props_extract": SQL_PROPS_EXTRACT,
+    "percentiles_per_type": SQL_PERCENTILES,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
