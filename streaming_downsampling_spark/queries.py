@@ -679,12 +679,13 @@ SELECT event_type, rn, event_id, value FROM (
 """
 
 
-def _drive_bounded_stream(spark, sf_dir, op, name):
-    """Run a stateful streaming operator over the events table as a REAL
-    bounded stream: 3 range-split files, one micro-batch each
+def _drive_bounded_stream(spark, sf_dir, op, name, mode="update"):
+    """Run a streaming operator over the events table as a REAL bounded
+    stream: 3 range-split files, one micro-batch each
     (maxFilesPerTrigger=1), so per-group state must carry across batches.
-    Memory sink in update mode appends every emission; the caller keeps the
-    final one per group.  Returns the raw emissions table."""
+    Memory sink: in update mode it appends every emission (the caller keeps
+    the final one per group); append mode for stateless operators.  Returns
+    the raw emissions table."""
     # tz-naive parquet reads as TIMESTAMP_NTZ, which watermarks reject; the
     # session tz is UTC, so the cast preserves wall-clock values
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -705,7 +706,7 @@ def _drive_bounded_stream(spark, sf_dir, op, name):
         op(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -970,6 +971,61 @@ SELECT event_type, count(*) AS n,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1
+"""
+
+
+def q_moving_stats(spark, sf_dir):
+    """Moving-window analytics per user: delta vs previous point (lag) and
+    5-point trailing mean — SURVEY §2.6 frame-spec coverage beyond
+    row_number/cumsum.  One shuffle on the key; frames evaluate inside the
+    per-key sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.avg("value").over(wf), 6).alias("ma5"),
+    )
+
+
+SQL_MOVING_STATS = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS delta,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+         AS ma5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the bounded events stream enriched against the
+    static customer dimension (broadcast per micro-batch — the dimension
+    never becomes stream state).  Oracle is the plain batch join; matching
+    proves the per-batch join emits exactly the batch semantics."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    m = _drive_bounded_stream(
+        spark,
+        sf_dir,
+        lambda s: s.join(F.broadcast(cust), "user_id").select(
+            "event_id", "user_id", "c_mktsegment", "value"
+        ),
+        "stream_static_mem",
+        mode="append",
+    )
+    return m
+
+
+SQL_STREAM_STATIC = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
@@ -1821,6 +1877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "props_extract": q_props_extract,
     "percentiles_per_type": q_percentiles_per_type,
+    "moving_stats": q_moving_stats,
+    "stream_static_enrich": q_stream_static_enrich,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1879,6 +1937,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED,
     "props_extract": SQL_PROPS_EXTRACT,
     "percentiles_per_type": SQL_PERCENTILES,
+    "moving_stats": SQL_MOVING_STATS,
+    "stream_static_enrich": SQL_STREAM_STATIC,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
