@@ -679,7 +679,7 @@ SELECT event_type, rn, event_id, value FROM (
 """
 
 
-def _drive_bounded_stream(spark, sf_dir, op, name, mode="update"):
+def _drive_bounded_stream(spark, sf_dir, op, name, mode="update", state_parts="16"):
     """Run a streaming operator over the events table as a REAL bounded
     stream: 3 range-split files, one micro-batch each
     (maxFilesPerTrigger=1), so per-group state must carry across batches.
@@ -702,15 +702,24 @@ def _drive_bounded_stream(spark, sf_dir, op, name, mode="update"):
         if q.name == name:
             q.stop()
     spark.catalog.dropTempView(name)
-    q = (
-        op(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # state-store partition count is fixed per checkpoint at first start;
+    # a fresh temp checkpoint per call means this cap applies cleanly.  The
+    # input is one table — 32+ state partitions just multiply tiny
+    # checkpoint files per micro-batch
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -1026,6 +1035,55 @@ def q_stream_static_enrich(spark, sf_dir):
 SQL_STREAM_STATIC = """
 SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once ingestion dedup: two OVERLAPPING source files
+    (the middle third of events appears in both) stream as separate
+    micro-batches through ``dropDuplicates`` keyed state; the duplicate copy
+    arriving in the second batch must be dropped by state from the first.
+    Oracle is the plain distinct scan — every event exactly once."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    src = f"/tmp/sds_stream_dup_{abs(hash(sf_dir)) % 10**8}"
+    a = ev.filter(F.col("event_id") < 2 * hi // 3)
+    b = ev.filter(F.col("event_id") >= hi // 3)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "stream_dedup_mem"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    spark.catalog.dropTempView(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type, value FROM events
 """
 
 
@@ -1879,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles_per_type": q_percentiles_per_type,
     "moving_stats": q_moving_stats,
     "stream_static_enrich": q_stream_static_enrich,
+    "stream_dedup": q_stream_dedup,
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
@@ -1939,6 +1998,7 @@ ORACLES: dict[str, str] = {
     "percentiles_per_type": SQL_PERCENTILES,
     "moving_stats": SQL_MOVING_STATS,
     "stream_static_enrich": SQL_STREAM_STATIC,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
