@@ -231,8 +231,20 @@ def ngram_jaccard_pairs(
 
     |A ∩ B| via a shingle-level join restricted to candidate docs, |A ∪ B| =
     |A| + |B| − |A ∩ B|.  Output: (doc_a, doc_b, jaccard).
+
+    Only candidate docs are shingled (semi-join pushdown on the candidate id
+    set — at corpus scale the candidates are a vanishing fraction), and that
+    restricted shingle set is materialized once instead of being recomputed
+    for each of its three uses (sizes, left join side, right join side).
     """
-    sh = shingles(df, text_col, id_col, n=shingle_n)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(
+        df.join(cand_ids, id_col, "leftsemi"), text_col, id_col, n=shingle_n
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.toDF("doc_a", "shingle")
     sh_b = sh.toDF("doc_b", "shingle")
@@ -313,7 +325,13 @@ def simhash_near_dups(
     blocked = s.withColumn(
         "block", F.shiftrightunsigned("simhash", simhash_bits(hash_fn) - prefix_bits)
     )
-    l, r = blocked.alias("l"), blocked.alias("r")
+    # materialize the tiny (id, simhash, block) table before the self-join —
+    # each side otherwise recomputes the word explode + 60 conditional sums
+    # (no exchange reuse across self-join sides); shuffle join because
+    # broadcasting the whole fingerprint table is wrong at corpus scale
+    blocked = blocked.persist()
+    blocked.count()
+    l, r = blocked.alias("l"), blocked.alias("r").hint("shuffle_hash")
     return (
         l.join(
             r,
