@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: lock in the plan shapes the engine's
+scale claims rest on, so a refactor that silently degrades a plan (nested
+loop instead of equi-join, lost filter pushdown, extra shuffles) fails CI
+rather than surfacing as a 100x slowdown on a real corpus."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from streaming_downsampling_spark import queries
+
+    return {name: fn(spark, SF) for name, fn in [
+        ("interval_join", queries.QUERIES["interval_join"]),
+        ("pricing_summary", queries.QUERIES["pricing_summary"]),
+        ("dedup_exact", queries.QUERIES["dedup_exact"]),
+        ("top_revenue_orders", queries.QUERIES["top_revenue_orders"]),
+    ]}
+
+
+def test_interval_join_is_equi_join(q):
+    """The bin-bucketed range join must plan as a hash equi-join — a
+    BroadcastNestedLoopJoin here is the O(N*M) failure mode the binning
+    exists to prevent."""
+    plan = _plan(q["interval_join"])
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pricing_filter_pushed_to_scan(q):
+    """The shipdate predicate must reach the parquet scan (PushedFilters),
+    not evaluate post-scan over all rows."""
+    plan = _plan(q["pricing_summary"])
+    scan = plan[plan.index("PushedFilters") :][:200]
+    assert "l_shipdate" in scan
+
+
+def test_exact_dedup_is_single_shuffle(q):
+    """Exact dedup is one hash-key shuffle: partial agg, exchange, final
+    agg.  More than one exchange means the map-side combine was lost."""
+    plan = _plan(q["dedup_exact"])
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_revenue_broadcasts_customer(q):
+    """The small customer dimension must broadcast; the big fact join keys
+    shuffle.  A shuffle of the dim side would add a pointless stage, a
+    broadcast of the fact side would OOM at scale."""
+    plan = _plan(q["top_revenue_orders"])
+    assert "BroadcastHashJoin" in plan
