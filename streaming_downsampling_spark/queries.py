@@ -976,7 +976,8 @@ def q_props_extract(spark, sf_dir):
 
 SQL_PROPS_EXTRACT = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1
@@ -1809,6 +1810,313 @@ def q_downsample_error_bench(spark, sf_dir):
     )
 
 
+def q_model_haar_parity(spark, sf_dir):
+    """Flagship model pipeline with a real driver oracle (the first two
+    rounds only had rows-only checks here).  The Haar variant's pooled
+    approximation and detail coefficients are pure pairwise arithmetic —
+    cA=(x₂ᵢ+x₂ᵢ₊₁)/√2, cD=(x₂ᵢ−x₂ᵢ₊₁)/√2, pooled=(cA₂ⱼ+cA₂ⱼ₊₁)/2
+    (/root/reference/core/downsampling_algorithm2.py:304-315 with
+    wavelet='haar') — so DuckDB recomputes them from the raw table.  Checked
+    per (event_type, day) group:
+
+    * shape laws: n_pooled = Σ_seg len_cA//2 and
+      n_detail = Σ_seg max(1, round(0.8·len_cD)) under the reference's
+      200-point segmentation (/root/reference/main.py:106);
+    * pooled VALUES: rounded sum + first/last element;
+    * detail VALUES: every attention-selected coefficient is a member of the
+      relationally-computed cD multiset (``n_detail_matched == n_detail``).
+      Only the attention *ranking* stays pytest-only
+      (tests/test_kernels.py) — it has no SQL twin.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    out = downsample_model(
+        ev, window="1 day", key_col="event_type", ts_col="ts",
+        value_col="value", order_col="event_id", wavelet="haar",
+    )
+    # parity-gate query: the model output feeds two branches (scalars +
+    # membership explode); eager localCheckpoint materializes the kernel
+    # once instead of per-branch (Catalyst does not reuse exchanges across
+    # mapInPandas branches) and the blocks are GC-cleaned with the DataFrame
+    model = out.select(
+        "key",
+        "window_start",
+        F.col("n").cast("long").alias("n"),
+        F.size("pooled_approx").cast("long").alias("n_pooled"),
+        F.size("detail_values").cast("long").alias("n_detail"),
+        F.round(
+            F.aggregate("pooled_approx", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("pooled_sum"),
+        F.round(F.element_at("pooled_approx", 1), 6).alias("pooled_first"),
+        F.round(F.element_at("pooled_approx", -1), 6).alias("pooled_last"),
+        "detail_values",
+    ).localCheckpoint(eager=True)
+    # relational Haar cD multiset from the same raw rows (the arithmetic the
+    # oracle runs), to verify the kernel's selected values are true
+    # coefficients: multiset-count membership join
+    clean = F.when(
+        F.col("value").isNull()
+        | F.isnan("value")
+        | (F.abs("value") == float("inf")),
+        F.lit(0.0),
+    ).otherwise(F.col("value"))
+    wn = Window.partitionBy("key", "window_start").orderBy("event_id")
+    rows = (
+        ev.select(
+            F.col("event_type").cast("string").alias("key"),
+            F.date_trunc("day", "ts").alias("window_start"),
+            clean.alias("v"),
+            "event_id",
+        )
+        .withColumn("rn0", (F.row_number().over(wn) - 1).cast("long"))
+        .withColumn("seg", F.expr("rn0 div 200"))
+        .withColumn("sp", F.expr("(rn0 % 200) div 2"))
+    )
+    pairs = rows.groupBy("key", "window_start", "seg", "sp").agg(
+        F.min_by("v", "rn0").alias("v1"),
+        F.max_by("v", "rn0").alias("v2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    # the kernel drops trailing segments shorter than 2 points; the first
+    # segment (whole short groups) always runs
+    seg_keep = (
+        pairs.groupBy("key", "window_start", "seg")
+        .agg(F.sum("c").alias("seg_len"))
+        .filter((F.col("seg_len") >= 2) | (F.col("seg") == 0))
+    )
+    cd = (
+        pairs.join(seg_keep, ["key", "window_start", "seg"])
+        .withColumn(
+            "cd6",
+            F.round(
+                F.when(
+                    F.col("c") == 2,
+                    (F.col("v1") - F.col("v2")) / F.sqrt(F.lit(2.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .groupBy("key", "window_start", "cd6")
+        .agg(F.count(F.lit(1)).alias("cnt_all"))
+    )
+    sel = (
+        model.select("key", "window_start", F.explode("detail_values").alias("dv"))
+        .withColumn("cd6", F.round("dv", 6))
+        .groupBy("key", "window_start", "cd6")
+        .agg(F.count(F.lit(1)).alias("cnt_sel"))
+    )
+    matched = (
+        sel.join(cd, ["key", "window_start", "cd6"], "left")
+        .groupBy("key", "window_start")
+        .agg(
+            F.sum(F.least("cnt_sel", F.coalesce("cnt_all", F.lit(0)))).alias(
+                "n_detail_matched"
+            )
+        )
+    )
+    return (
+        model.drop("detail_values")
+        .join(matched, ["key", "window_start"], "left")
+        .select(
+            "key",
+            "window_start",
+            "n",
+            "n_pooled",
+            "n_detail",
+            F.coalesce("n_detail_matched", F.lit(0))
+            .cast("long")
+            .alias("n_detail_matched"),
+            "pooled_sum",
+            "pooled_first",
+            "pooled_last",
+        )
+    )
+
+
+SQL_MODEL_HAAR = """
+WITH base AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+         CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+              THEN 0.0 ELSE value END AS v,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY event_id) - 1 AS rn0
+  FROM events),
+segrows AS (
+  SELECT key, window_start, v, rn0,
+         rn0 // 200 AS seg, (rn0 % 200) // 2 AS sp
+  FROM base),
+pairs AS (
+  SELECT key, window_start, seg, sp,
+         arg_min(v, rn0) AS v1, arg_max(v, rn0) AS v2, count(*) AS c
+  FROM segrows GROUP BY 1, 2, 3, 4),
+kept AS (
+  SELECT key, window_start, seg, count(*) AS len_ca, sum(c) AS seg_len
+  FROM pairs GROUP BY 1, 2, 3
+  HAVING sum(c) >= 2 OR seg = 0),
+coeffs AS (
+  SELECT p.key, p.window_start, p.seg, p.sp,
+         CASE WHEN p.c = 2 THEN (p.v1 + p.v2) / sqrt(2.0)
+              ELSE sqrt(2.0) * p.v1 END AS ca
+  FROM pairs p JOIN kept k USING (key, window_start, seg)),
+pooled AS (
+  SELECT key, window_start, seg, sp // 2 AS pp,
+         (arg_min(ca, sp) + arg_max(ca, sp)) / 2.0 AS pv, count(*) AS pc
+  FROM coeffs GROUP BY 1, 2, 3, 4),
+pooled_ok AS (SELECT * FROM pooled WHERE pc = 2),
+shape AS (
+  SELECT key, window_start,
+         CAST(sum(len_ca // 2) AS BIGINT) AS n_pooled,
+         CAST(sum(greatest(1, CAST(round(0.8 * len_ca, 0) AS BIGINT)))
+              AS BIGINT) AS n_detail
+  FROM kept GROUP BY 1, 2),
+psum AS (
+  SELECT key, window_start, round(sum(pv), 4) AS pooled_sum,
+         round(arg_min(pv, seg * 100 + pp), 6) AS pooled_first,
+         round(arg_max(pv, seg * 100 + pp), 6) AS pooled_last
+  FROM pooled_ok GROUP BY 1, 2),
+counts AS (
+  SELECT key, window_start, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2)
+SELECT c.key, c.window_start, c.n, s.n_pooled, s.n_detail,
+       s.n_detail AS n_detail_matched,
+       coalesce(p.pooled_sum, 0.0) AS pooled_sum,
+       p.pooled_first, p.pooled_last
+FROM counts c
+JOIN shape s USING (key, window_start)
+LEFT JOIN psum p USING (key, window_start)
+"""
+
+
+def q_error_bench_sql(spark, sf_dir):
+    """SQL-reconstructable slice of the reconstruction-error benchmark:
+    uniform / avg_pool / max_pool selection + endpoint-anchored linear
+    reconstruction + MSE/MAE (/root/reference/new_evaluation.py:66-94,
+    185-209) are pure window/join SQL, so the distributed metrics kernel
+    gets a full per-window value oracle.  LTTB/PIP/wavelet stay
+    invariant-oracled (float-tie risk, see ``lttb_select``) and run in the
+    rows-only ``downsample_error_bench``."""
+    ev = _t(spark, sf_dir, "events")
+    metrics = downsample_metrics_multi(
+        ev,
+        ["uniform", "avg_pool", "max_pool"],
+        20,
+        window="1 day",
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        order_col="event_id",
+    )
+    # +1e-7 boundary dither before rounding: 2-decimal inputs make err an
+    # exact multiple of 1/(200·w), so the true MAE can sit EXACTLY on a
+    # x.xxxx5 rounding boundary and engine summation-order ulps flip the
+    # rounded digit (observed).  The shift moves the boundary off the
+    # rational grid on both sides identically.
+    return metrics.select(
+        "key",
+        "window_start",
+        "method",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("mse") + 1e-7, 3).alias("mse3"),
+        F.round(F.col("mae") + 1e-7, 4).alias("mae4"),
+    )
+
+
+SQL_ERROR_BENCH = """
+WITH base AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+         CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+              THEN 0.0 ELSE value END AS v,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY event_id) - 1 AS rn0,
+         count(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+  FROM events),
+-- uniform: stride selection, endpoint-anchored linear reconstruction
+uni_k AS (
+  SELECT *, greatest(1, n // 20) AS step,
+         (rn0 % greatest(1, n // 20) = 0
+          AND rn0 // greatest(1, n // 20) < 20) AS kept
+  FROM base),
+uni_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM uni_k),
+uni_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM uni_f),
+uni_m AS (
+  SELECT key, window_start, 'uniform' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM uni_rec GROUP BY 1, 2),
+-- avg/max pool: window means/maxima at centers j*w+(w-1)/2, np.interp
+-- clamp-to-edge semantics outside [c_0, c_{m-1}]
+pool_j AS (
+  SELECT key, window_start, n, v, rn0,
+         greatest(1, n // 20) AS w,
+         rn0 // greatest(1, n // 20) AS j,
+         least(n // greatest(1, n // 20), 20) AS m
+  FROM base),
+pool_p AS (
+  SELECT key, window_start, j, avg(v) AS pavg, max(v) AS pmax
+  FROM pool_j WHERE j < m GROUP BY 1, 2, 3),
+pool_idx AS (
+  SELECT key, window_start, n, v, rn0, w, m,
+         CASE WHEN 2 * rn0 <= w - 1 THEN 0
+              WHEN 2 * rn0 >= 2 * (m - 1) * w + w - 1 THEN m - 1
+              ELSE CAST(floor((2.0 * rn0 - w + 1) / (2 * w)) AS BIGINT)
+         END AS j0,
+         (2 * rn0 > w - 1 AND 2 * rn0 < 2 * (m - 1) * w + w - 1) AS interior
+  FROM pool_j),
+pool_join AS (
+  SELECT r.*, p0.pavg AS a0, p0.pmax AS x0, p1.pavg AS a1, p1.pmax AS x1
+  FROM pool_idx r
+  JOIN pool_p p0 ON p0.key = r.key AND p0.window_start = r.window_start
+                AND p0.j = r.j0
+  LEFT JOIN pool_p p1 ON p1.key = r.key AND p1.window_start = r.window_start
+                     AND p1.j = r.j0 + 1),
+pool_rec AS (
+  SELECT key, window_start, n, v, m,
+         CASE WHEN interior
+              THEN a0 + (a1 - a0) / w * (rn0 - (j0 * w + (w - 1) / 2.0))
+              ELSE a0 END AS rec_avg,
+         CASE WHEN interior
+              THEN x0 + (x1 - x0) / w * (rn0 - (j0 * w + (w - 1) / 2.0))
+              ELSE x0 END AS rec_max
+  FROM pool_join),
+pool_m AS (
+  SELECT key, window_start, 'avg_pool' AS method,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS k,
+         round(avg((v - rec_avg) * (v - rec_avg)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec_avg)) + 1e-7, 4) AS mae4
+  FROM pool_rec GROUP BY 1, 2
+  UNION ALL
+  SELECT key, window_start, 'max_pool' AS method,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS k,
+         round(avg((v - rec_max) * (v - rec_max)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec_max)) + 1e-7, 4) AS mae4
+  FROM pool_rec GROUP BY 1, 2)
+SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal frame-sampling *plan* (which timestamps to decode per
     video) over a deterministic media projection of the documents table —
@@ -1942,6 +2250,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixup_augment": q_mixup_augment,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
+    "model_haar_parity": q_model_haar_parity,
+    "error_bench_sql": q_error_bench_sql,
     # Spark-only (rows-only correctness check): frozen-attention model and
     # the multi-metric reconstruction bench have no SQL twin
     "model_downsample": q_model_downsample,
@@ -2003,4 +2313,6 @@ ORACLES: dict[str, str] = {
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "model_haar_parity": SQL_MODEL_HAAR,
+    "error_bench_sql": SQL_ERROR_BENCH,
 }
