@@ -21,8 +21,11 @@ to a stale older row — and all output columns always come from the same
 right row (no torn rows).
 
 Right rows at an equal timestamp sort *before* left rows, so the match is
-inclusive (``right_ts <= left_ts``).  If several right rows share (key, ts)
-the winner among them is not defined — deduplicate the right side first.
+inclusive (``right_ts <= left_ts``).  Several right rows sharing (key, ts)
+have no defined winner under the raw union-sort; pass ``dedup_ties=True``
+to resolve ties deterministically (greatest right row by lexicographic
+``right_cols`` order — one map-combined aggregate, no extra shuffle
+granularity) or pre-deduplicate the right side yourself.
 At scale this is a single hash shuffle on the key plus an in-partition
 sort — no point-in-interval explosion, skew bounded by the hottest key
 (salt upstream if one key dominates).
@@ -43,6 +46,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    dedup_ties: bool = False,
 ) -> DataFrame:
     """Backward as-of left join.
 
@@ -50,6 +54,11 @@ def asof_join(
     ``<right_ts><suffix>`` (the matched right timestamp), from the latest
     right row with ``right_ts <= left_ts`` on the same ``key_col``; nulls
     when no right row precedes the left row.
+
+    ``dedup_ties=True`` makes duplicate (key, right_ts) right rows
+    well-defined: the greatest row by lexicographic ``right_cols`` order
+    wins (deterministic across runs and partitionings).  Off by default —
+    a right side that is already unique per (key, ts) pays nothing.
 
     Raises ``ValueError`` when an output or internal working column would
     collide with an existing left column.
@@ -67,6 +76,21 @@ def asof_join(
         raise ValueError(
             f"asof output columns {dup} collide with left columns or each other; "
             f"pass a different suffix"
+        )
+
+    if dedup_ties:
+        # one deterministic winner per (key, right_ts): greatest right row
+        # by lexicographic right_cols order — partial-aggregated map-side,
+        # same shuffle key as the join itself
+        rs = F.struct(*[F.col(c) for c in right_cols])
+        right = (
+            right.groupBy(key_col, right_ts)
+            .agg(F.max(rs).alias("_rs"))
+            .select(
+                key_col,
+                right_ts,
+                *[F.col("_rs")[c].alias(c) for c in right_cols],
+            )
         )
 
     # one nullable struct = the whole matched right row (atomic match)

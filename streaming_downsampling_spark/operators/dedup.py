@@ -196,10 +196,12 @@ def lsh_candidates(
     # relative to the input (bands rows of (id, band, bucket) per doc vs the
     # full shingle fan-out), and without this the scan→shingle→hash→agg
     # pipeline runs once per join side — the two sides' exchange stages can
-    # even race, so a lazy cache doesn't dedup the work.  Persisted
-    # MEMORY_AND_DISK, so at scale it spills rather than OOMs.
-    banded = banded.persist()
-    banded.count()
+    # even race, so a lazy cache doesn't dedup the work.  Eager
+    # localCheckpoint instead of persist(): same materialization, but the
+    # blocks are dropped by the ContextCleaner when the DataFrame goes out
+    # of scope, so a long session running the whole catalog doesn't
+    # accumulate storage (round-2 leak finding).
+    banded = banded.localCheckpoint(eager=True)
     # shuffle join, never broadcast: both sides are the SAME banded table —
     # at scale broadcasting it would ship the whole signature set to every
     # executor.
@@ -244,7 +246,7 @@ def ngram_jaccard_pairs(
     )
     sh = shingles(
         df.join(cand_ids, id_col, "leftsemi"), text_col, id_col, n=shingle_n
-    ).persist()
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.toDF("doc_a", "shingle")
     sh_b = sh.toDF("doc_b", "shingle")
@@ -328,9 +330,9 @@ def simhash_near_dups(
     # materialize the tiny (id, simhash, block) table before the self-join —
     # each side otherwise recomputes the word explode + 60 conditional sums
     # (no exchange reuse across self-join sides); shuffle join because
-    # broadcasting the whole fingerprint table is wrong at corpus scale
-    blocked = blocked.persist()
-    blocked.count()
+    # broadcasting the whole fingerprint table is wrong at corpus scale.
+    # localCheckpoint: GC-scoped cleanup, see lsh_candidates.
+    blocked = blocked.localCheckpoint(eager=True)
     l, r = blocked.alias("l"), blocked.alias("r").hint("shuffle_hash")
     return (
         l.join(
@@ -348,6 +350,74 @@ def simhash_near_dups(
     )
 
 
+def simhash_near_dups_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Multi-block SimHash near-dup detection with exact bounded recall.
+
+    The block-rotation scheme of Manku-Jain-Sarma (WWW 2007, "Detecting
+    near-duplicates for web crawling"): split the fingerprint into
+    ``n_blocks`` contiguous bit-blocks; any pair within Hamming distance
+    ``d ≤ n_blocks − 1`` must agree exactly on at least one block
+    (pigeonhole), so "share ≥1 block" candidates + an exact Hamming filter
+    give EXACT recall for ``max_hamming ≤ n_blocks − 1`` — removing the
+    single-prefix recall limitation of :func:`simhash_near_dups`.
+
+    Scale shape: the fan-out is ``n_blocks`` rows per doc; each block bucket
+    holds ~N/2^(nbits/n_blocks) docs under uniform bits, so every per-bucket
+    join stays bounded and there is never an all-pairs comparison.
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ max_hamming.
+    """
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"exact recall needs max_hamming <= n_blocks-1 "
+            f"(got {max_hamming} > {n_blocks - 1})"
+        )
+    nbits = simhash_bits(hash_fn)
+    w = nbits // n_blocks
+    s = simhash(df, text_col, id_col, hash_fn)
+    blocks = [
+        F.struct(
+            F.lit(b).alias("bi"),
+            F.shiftrightunsigned("simhash", b * w)
+            .bitwiseAND(
+                F.lit((1 << (w if b < n_blocks - 1 else nbits - w * (n_blocks - 1))) - 1)
+            )
+            .alias("bv"),
+        )
+        for b in range(n_blocks)
+    ]
+    blocked = s.select(
+        id_col, "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select(id_col, "simhash", "blk.bi", "blk.bv")
+    # materialize once before the self-join (see simhash_near_dups)
+    blocked = blocked.localCheckpoint(eager=True)
+    l, r = blocked.alias("l"), blocked.alias("r").hint("shuffle_hash")
+    return (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a close pair can share several blocks — one row per pair
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -362,12 +432,16 @@ def connected_components(
     every node adopts the minimum label among itself and its neighbors,
     converging to component_id = min(node id in component).  Rounds are
     O(component diameter); duplicate clusters are near-cliques, so 2-3
-    rounds in practice (``max_iter`` bounds adversarial chains — for long
+    rounds (``max_iter`` bounds adversarial chains — for long
     path-shaped graphs swap in the O(log n)-round large-star/small-star of
     Kiveris et al. 2014, same join shapes).  Each round is two hash-key
-    shuffles; labels are persisted and replaced per round so the plan stays
-    O(1) deep.  Convergence check = count of changed labels (no
-    full-table sums that could overflow).
+    shuffles; labels are eagerly localCheckpoint-ed per round, which both
+    materializes them AND truncates the logical plan — a bare persist
+    caches data but the plan still nests (measured 4x plan-string growth
+    per round: exponential analysis cost that OOMs the driver near round
+    10 on chain graphs), and the checkpoint blocks are GC-scoped so a
+    catalog run leaves the storage pool clean.  Convergence check = count
+    of changed labels (no full-table sums that could overflow).
 
     Output: (node, component) for every node appearing in ``pairs``.
     """
@@ -377,16 +451,15 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        # the edge set is read once per round: persist it, or every round
-        # recomputes the whole upstream candidate pipeline
-        .persist()
+        # the edge set is read once per round: materialize it, or every
+        # round recomputes the whole upstream candidate pipeline
+        .localCheckpoint(eager=True)
     )
     labels = (
         e.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e.src == labels.node)
@@ -402,7 +475,7 @@ def connected_components(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -410,11 +483,19 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    e.unpersist()
+    else:
+        # exhausting max_iter with labels still moving means a component
+        # wider than max_iter hops — silently returning split clusters is a
+        # correctness trap (round-2 ADVICE).  Chain-shaped graphs need the
+        # O(log n)-round large-star/small-star variant (Kiveris 2014).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a component's diameter "
+            "exceeds max_iter — raise max_iter or use a log-round variant"
+        )
     return labels
 
 

@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .rollup import TIERS
 
 
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
 def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
     """Per-key dense grid of window_start values spanning min..max.
 
@@ -29,13 +32,18 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
     whole spine of a key in ONE array row — a multi-year key at the 1m tier
     is a ~10⁶-element array on one executor (and Spark hard-caps sequence
     length), whereas the sliced form bounds every array at 1440 elements and
-    lets the explode stream.  Requires ``window_start`` values on the
-    epoch-aligned tier grid — true for every ``F.window``/rollup output —
-    so day boundaries fall on the grid and the sliced union equals the
-    single-sequence spine exactly.
+    lets the explode stream.
+
+    All grid arithmetic is on epoch seconds (``unix_seconds`` →
+    ``timestamp_seconds``), the same 1970-anchored grid ``F.window``
+    aligns to — so the sliced spine equals the dense one in EVERY session
+    timezone, including half-hour-offset and DST zones where local-midnight
+    ``date_trunc('day')`` would fall off the tier grid (round-2 ADVICE).
     """
-    interval = F.expr(f"interval {TIERS[tier]}")
-    one_day = F.expr("interval 1 day")
+    step = TIER_SECONDS[tier]
+    # hand back the caller's window_start dtype (timestamp vs timestamp_ntz)
+    # so the spine join needs no implicit coercion
+    ws_type = dict(rollup_df.dtypes)["window_start"]
     days = (
         rollup_df.groupBy(key)
         .agg(
@@ -44,24 +52,34 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
         )
         .select(
             key,
-            "w0",
-            "w1",
+            F.unix_seconds(F.col("w0").cast("timestamp")).alias("s0"),
+            F.unix_seconds(F.col("w1").cast("timestamp")).alias("s1"),
+        )
+        .select(
+            key,
+            "s0",
+            "s1",
             F.explode(
                 F.sequence(
-                    F.date_trunc("day", "w0"), F.date_trunc("day", "w1"), one_day
+                    (F.floor(F.col("s0") / 86400) * 86400).cast("long"),
+                    (F.floor(F.col("s1") / 86400) * 86400).cast("long"),
+                    F.lit(86400),
                 )
-            ).alias("day"),
+            ).alias("day_sec"),
         )
     )
     return days.select(
         key,
         F.explode(
             F.sequence(
-                F.greatest(F.col("day"), F.col("w0")),
-                F.least(F.col("day") + one_day - interval, F.col("w1")),
-                interval,
+                F.greatest(F.col("day_sec"), F.col("s0")),
+                F.least(F.col("day_sec") + 86400 - step, F.col("s1")),
+                F.lit(step),
             )
-        ).alias("window_start"),
+        ).alias("tick_sec"),
+    ).select(
+        key,
+        F.timestamp_seconds(F.col("tick_sec")).cast(ws_type).alias("window_start"),
     )
 
 

