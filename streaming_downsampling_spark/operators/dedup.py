@@ -499,6 +499,105 @@ def connected_components(
     return labels
 
 
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive (count, hash-xor) signature of an edge set — the
+    O(1)-space fixed-point test for the star iterations (collision odds
+    ~2⁻⁶⁴ per round; an exceptAll comparison would shuffle the whole set).
+    bit_xor instead of sum: order-insensitive AND overflow-free under ANSI
+    arithmetic."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) ALTERNATIONS regardless of component
+    diameter — the variant :func:`connected_components`'s docstring defers
+    to for chain-shaped graphs, where min-label propagation needs
+    O(diameter) rounds.
+
+    * large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    * small-star(u): on edges oriented toward the larger endpoint, every
+      smaller neighbor (and u itself) re-attaches to the minimum one.
+
+    Each half-round is one groupBy(min) + one join on the same key, with
+    eager localCheckpoint truncating the plan (see
+    :func:`connected_components`).  Fixed point detected by an
+    order-insensitive (count, hash-sum) signature.  At the fixed point the
+    edges form stars centered on each component's minimum id.
+
+    Output: (node, component) for every node appearing in ``pairs`` —
+    identical semantics to :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        adj = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on edges oriented toward the larger endpoint
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = ss
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_iter} alternations"
+        )
+    # at the fixed point every non-center node carries exactly one edge to
+    # its component's minimum id; centers label themselves
+    labels = (
+        nodes.join(edges, nodes.node == edges.u, "left")
+        .groupBy("node")
+        .agg(F.least(F.min("v"), F.first("node")).alias("component"))
+    )
+    return labels
+
+
 def dedup_components(
     df: DataFrame,
     text_col: str = "text",

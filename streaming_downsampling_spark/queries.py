@@ -1698,6 +1698,24 @@ FROM blk l JOIN blk r ON l.block = r.block AND l.doc_id < r.doc_id
 """
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Duplicate clustering via the O(log n)-round large-star/small-star
+    algorithm (Kiveris 2014) — same LSH candidate pairs, same oracle as the
+    label-propagation ``dedup_components``, but convergence is independent
+    of component diameter (the chain-graph scale hazard)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5")
+    comp = D.connected_components_star(cands)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component_id"),
+        )
+    )
+
+
 def q_simhash_rotate(spark, sf_dir):
     """Multi-block SimHash near-dups with exact bounded recall: any pair at
     Hamming ≤ 3 shares one of 4 fingerprint blocks (pigeonhole) — the
@@ -2320,6 +2338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
     # ---- entries past the driver's 50-query window (local gate only) ----
+    "dedup_components_star": q_dedup_components_star,
     "uniform_sample": q_uniform_sample,
     "minmax_daily": q_minmax_daily,
     "fingerprint": q_fingerprint,
@@ -2389,4 +2408,5 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "model_haar_parity": SQL_MODEL_HAAR,
     "error_bench_sql": SQL_ERROR_BENCH,
+    "dedup_components_star": SQL_DEDUP_COMPONENTS,
 }

@@ -206,6 +206,53 @@ def test_simhash_blocked_recall_exact_vs_bruteforce(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_star_cc_matches_union_find(spark):
+    """Large-star/small-star components equal a Python union-find ground
+    truth on a random graph plus a 120-node chain (the O(diameter) killer
+    for plain label propagation)."""
+    import random
+
+    from streaming_downsampling_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    edges += [(1000 + i, 1001 + i) for i in range(120)]  # long chain
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {n: find(n) for n in parent}
+    # canonicalize: component id = min node in component
+    comp_min = {}
+    for n, r in truth.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    truth = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == truth
+
+
 def test_connected_components_raises_when_unconverged(spark):
     from streaming_downsampling_spark.operators.dedup import connected_components
 
