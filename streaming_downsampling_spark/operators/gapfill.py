@@ -18,10 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .rollup import TIERS
-
-
-TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+from .rollup import tier_seconds
 
 
 def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
@@ -40,7 +37,7 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
     timezone, including half-hour-offset and DST zones where local-midnight
     ``date_trunc('day')`` would fall off the tier grid (round-2 ADVICE).
     """
-    step = TIER_SECONDS[tier]
+    step = tier_seconds(tier)
     # hand back the caller's window_start dtype (timestamp vs timestamp_ntz)
     # so the spine join needs no implicit coercion
     ws_type = dict(rollup_df.dtypes)["window_start"]

@@ -21,6 +21,44 @@ TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 # how many fine windows fit in the coarse one (for cascade validation)
 TIER_ORDER = ["1m", "1h", "1d"]
 
+_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+_UNIT_NAME = {1: "second", 60: "minute", 3600: "hour", 86400: "day"}
+
+
+def tier_interval(tier: str) -> str:
+    """Spark interval string for a named tier ('1m'/'1h'/'1d') or any
+    '<N><unit>' / '<N> <unit>' duration ('15m', '5 minutes', '12h') — the
+    continuous-aggregate grid is not limited to the three named tiers."""
+    if tier in TIERS:
+        return TIERS[tier]
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([a-z]+)", tier.strip().lower())
+    if not m or m.group(2) not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unknown tier {tier!r}: use one of {sorted(TIERS)} or "
+            f"'<N><s|m|h|d>' / '<N> <unit>'"
+        )
+    n = int(m.group(1))
+    name = _UNIT_NAME[_UNIT_SECONDS[m.group(2)]]
+    return f"{n} {name}" + ("s" if n != 1 else "")
+
+
+def tier_seconds(tier: str) -> int:
+    """Grid step of a tier in seconds (epoch-aligned window arithmetic)."""
+    import re
+
+    spec = TIERS.get(tier, tier)
+    m = re.fullmatch(r"(\d+)\s*([a-z]+)", spec.strip().lower())
+    if not m or m.group(2) not in _UNIT_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    return int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+
 ROLLUP_COLS = [
     "n_points",
     "sum_value",
@@ -56,7 +94,7 @@ def rollup(
     ``ts`` — deterministic under any partitioning.
     """
     ord_expr = F.col(order_col) if order_col else F.col(ts_col)
-    w = F.window(ts_col, TIERS[tier])
+    w = F.window(ts_col, tier_interval(tier))
     out = (
         df.groupBy(F.col(key_col).alias("key"), w.alias("w"))
         .agg(
@@ -85,7 +123,7 @@ def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     (key, coarse_window).  first/last compose via min_by/max_by on the fine
     window_start.
     """
-    w = F.window("window_start", TIERS[to_tier])
+    w = F.window("window_start", tier_interval(to_tier))
     return (
         rollup_df.groupBy("key", w.alias("w"))
         .agg(
@@ -125,7 +163,7 @@ def rollup_salted(
     are 100× longer).
     """
     salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts)).alias("salt")
-    w = F.window(ts_col, TIERS[tier])
+    w = F.window(ts_col, tier_interval(tier))
     partial = (
         df.groupBy(F.col(key_col).alias("key"), w.alias("w"), salt)
         .agg(

@@ -993,6 +993,91 @@ FROM events GROUP BY 1
 """
 
 
+def q_rollup_15m(spark, sf_dir):
+    """Arbitrary-interval continuous aggregate: the tier grid is any
+    duration, not just the named 1m/1h/1d tiers — here a 15-minute rollup
+    straight through the same ``rollup`` operator (epoch-aligned tumbling
+    windows; the oracle rebuilds the grid with epoch arithmetic since
+    ``date_trunc`` has no 15-minute unit)."""
+    ev = _t(spark, sf_dir, "events")
+    r = rollup(
+        ev, "15m", key_col="event_type", ts_col="ts",
+        value_col="value", order_col="event_id",
+    )
+    return r.select(
+        F.col("key").alias("event_type"),
+        "window_start",
+        F.col("n_points").alias("n"),
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+        "first_value",
+        "last_value",
+    )
+
+
+SQL_ROLLUP_15M = """
+SELECT event_type,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+            AS TIMESTAMP) AS window_start,
+       count(*) AS n, round(sum(value), 6) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Exponential smoothing (α=1/2) per user — the classic time-series
+    operator, exactly cross-engine because every weight is a power of two
+    (2⁻ᵏ scaling is exact in IEEE-754): s_n = Σ_{j=0..min(n−1,63)}
+    v_{n−j}·2^{−(j+1)} — zero-seeded, 64-lag kernel (lags past 52 are below
+    double precision regardless, so the truncation is invisible AND
+    identical in both engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-63, 0)
+    )
+    arr = F.reverse(F.collect_list("value").over(w))
+    return (
+        ev.withColumn("arr", arr)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        "arr", lambda x, i: x * F.pow(F.lit(0.5), i + 1)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                + 1e-7,  # boundary dither: 2-decimal inputs x 2^-k weights
+                # put the true EWMA exactly on x.xxxxx5 rounding boundaries
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
+SQL_EWMA = """
+SELECT event_id, user_id,
+       round(list_sum(list_transform(list_reverse(arr),
+                                     (x, i) -> x * pow(0.5, i))) + 1e-7, 6)
+         AS ewma
+FROM (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS arr
+  FROM events)
+"""
+
+
 def q_moving_stats(spark, sf_dir):
     """Moving-window analytics per user: delta vs previous point (lag) and
     5-point trailing mean — SURVEY §2.6 frame-spec coverage beyond
@@ -2339,6 +2424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     # ---- entries past the driver's 50-query window (local gate only) ----
     "dedup_components_star": q_dedup_components_star,
+    "rollup_15m": q_rollup_15m,
+    "ewma_smooth": q_ewma_smooth,
     "uniform_sample": q_uniform_sample,
     "minmax_daily": q_minmax_daily,
     "fingerprint": q_fingerprint,
@@ -2409,4 +2496,6 @@ ORACLES: dict[str, str] = {
     "model_haar_parity": SQL_MODEL_HAAR,
     "error_bench_sql": SQL_ERROR_BENCH,
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
+    "rollup_15m": SQL_ROLLUP_15M,
+    "ewma_smooth": SQL_EWMA,
 }

@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.rollup import TIERS
+from ..operators.rollup import tier_interval
 from ..plans.lineage import LineageLog
 from ..sources.tables import Warehouse
 
@@ -44,7 +44,7 @@ def tier_agg_stream(
     arbitrary state, so the streaming tier carries the algebraic aggregates
     (n/sum/min/max) — exactly what the cascade needs; avg stays exact.
     """
-    w = F.window(ts_col, TIERS[tier])
+    w = F.window(ts_col, tier_interval(tier))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col).alias("key"), w.alias("w"))
@@ -206,7 +206,7 @@ def refresh_tier_cascade(
     keys = warehouse.partition_keys(src_table)
     selected = [k for k in keys if since_day is None or k >= since_day]
     fine = warehouse.read(src_table, partitions=selected)
-    w = F.window("window_start", TIERS[to_tier])
+    w = F.window("window_start", tier_interval(to_tier))
     agg = (
         fine.groupBy("key", w.alias("w"))
         .agg(

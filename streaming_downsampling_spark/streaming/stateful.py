@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.rollup import TIERS
+from ..operators.rollup import tier_interval
 
 _TIER_OUT_SCHEMA = (
     "key string, window_start timestamp, n_points long, sum_value double, "
@@ -95,7 +95,7 @@ def stateful_tier_stream(
         # whose rows span non-adjacent batches.  Spark requires the timeout
         # to sit above the current watermark, hence the max().
         wend_ms = int(
-            (pd.Timestamp(wstart) + pd.Timedelta(TIERS[tier])).value // 10**6
+            (pd.Timestamp(wstart) + pd.Timedelta(tier_interval(tier))).value // 10**6
         )
         state.setTimeoutTimestamp(
             max(wend_ms, state.getCurrentWatermarkMs() + 1)
@@ -116,7 +116,7 @@ def stateful_tier_stream(
 
     keyed = stream_df.withWatermark(ts_col, watermark).select(
         F.col(key_col).cast("string").alias("key"),
-        F.window(ts_col, TIERS[tier]).start.alias("window_start"),
+        F.window(ts_col, tier_interval(tier)).start.alias("window_start"),
         F.col(ts_col).alias(ts_col),
         F.col(value_col).cast("double").alias(value_col),
         F.col(order_col).cast("long").alias(order_col),
