@@ -47,6 +47,7 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     dedup_ties: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of left join.
 
@@ -54,6 +55,11 @@ def asof_join(
     ``<right_ts><suffix>`` (the matched right timestamp), from the latest
     right row with ``right_ts <= left_ts`` on the same ``key_col``; nulls
     when no right row precedes the left row.
+
+    ``tolerance`` (an interval string, e.g. ``"2 hours"``) bounds how stale
+    a match may be — matches older than ``left_ts − tolerance`` become
+    nulls, the ``merge_asof(tolerance=...)`` semantics.  A post-projection
+    on the atomic matched struct: no plan change, no extra shuffle.
 
     ``dedup_ties=True`` makes duplicate (key, right_ts) right rows
     well-defined: the greatest row by lexicographic ``right_cols`` order
@@ -123,11 +129,18 @@ def asof_join(
     matched = u.select(
         *lcols, "_is_left", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
+    out_m = F.col("_m")
+    if tolerance is not None:
+        out_m = F.when(
+            F.col("_m")[_TS_FIELD]
+            >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"),
+            F.col("_m"),
+        )
     return (
         matched.filter(F.col("_is_left") == 1)
         .select(
             *lcols,
-            *[F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols],
-            F.col("_m")[_TS_FIELD].alias(f"{right_ts}{suffix}"),
+            *[out_m[c].alias(f"{c}{suffix}") for c in right_cols],
+            out_m[_TS_FIELD].alias(f"{right_ts}{suffix}"),
         )
     )

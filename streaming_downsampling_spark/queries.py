@@ -456,6 +456,50 @@ FROM events e ASOF LEFT JOIN hourly h
 """
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of enrichment with a staleness bound (``merge_asof`` tolerance):
+    matches older than 2 hours before the event become nulls — the pattern
+    that stops a dead dimension feed from silently enriching with stale
+    state forever."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup(
+        ev, "1h", key_col="event_type", ts_col="ts", value_col="value", order_col=None
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("window_end").alias("h_end"),
+        _avg6("sum_value", "n_points").alias("prev_hour_avg"),
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        hourly,
+        key_col="event_type",
+        left_ts="ts",
+        right_ts="h_end",
+        right_cols=["prev_hour_avg"],
+        suffix="",
+        tolerance="2 hours",
+    )
+    return out.select("event_id", "event_type", "prev_hour_avg", F.col("h_end"))
+
+
+SQL_ASOF_TOLERANCE = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS h_end,
+         round(round(sum(value) * 100) / count(*) / 100.0, 6) AS prev_hour_avg
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT e.event_id, e.event_type, e.ts, h.prev_hour_avg, h.h_end
+  FROM events e ASOF LEFT JOIN hourly h
+    ON e.event_type = h.event_type AND e.ts >= h.h_end)
+SELECT event_id, event_type,
+       CASE WHEN h_end >= ts - INTERVAL 2 HOUR THEN prev_hour_avg END
+         AS prev_hour_avg,
+       CASE WHEN h_end >= ts - INTERVAL 2 HOUR THEN h_end END AS h_end
+FROM m
+"""
+
+
 def _select_invariants(sel: DataFrame) -> DataFrame:
     """Project a selection (SELECT_SCHEMA rows) to its per-window invariant
     summary — scalar facts a SQL oracle can derive from the *raw* table
@@ -2426,6 +2470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components_star": q_dedup_components_star,
     "rollup_15m": q_rollup_15m,
     "ewma_smooth": q_ewma_smooth,
+    "asof_tolerance": q_asof_tolerance,
     "uniform_sample": q_uniform_sample,
     "minmax_daily": q_minmax_daily,
     "fingerprint": q_fingerprint,
@@ -2498,4 +2543,5 @@ ORACLES: dict[str, str] = {
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
     "rollup_15m": SQL_ROLLUP_15M,
     "ewma_smooth": SQL_EWMA,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
 }

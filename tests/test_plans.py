@@ -54,3 +54,46 @@ def test_top_revenue_broadcasts_customer(q):
     broadcast of the fact side would OOM at scale."""
     plan = _plan(q["top_revenue_orders"])
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must sort-merge-join with ZERO
+    Exchange: bucketing is the co-located-join strategy that amortizes one
+    write-time shuffle across every subsequent join — at 100 TB the
+    difference between re-shuffling the fact table per query and never
+    shuffling it again."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.createDataFrame(
+            pd.DataFrame({"k": range(1000), "va": [float(i) for i in range(1000)]})
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame({"k": range(1000), "vb": [float(-i) for i in range(1000)]})
+        )
+        for name, df in [("bt_a", a), ("bt_b", b)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # external table path: the session's static warehouse dir can't
+            # change, so the bucketed files land in the test's tmp dir
+            df.write.bucketBy(8, "k").sortBy("k").option(
+                "path", f"{wh}/{name}"
+            ).saveAsTable(name)
+        joined = (
+            spark.table("bt_a")
+            .join(spark.table("bt_b"), "k")
+            .agg(F.sum(F.col("va") + F.col("vb")).alias("s"))
+        )
+        assert joined.collect()[0]["s"] == 0.0
+        plan = _plan(spark.table("bt_a").join(spark.table("bt_b"), "k"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

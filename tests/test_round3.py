@@ -59,6 +59,36 @@ def test_asof_without_dedup_still_atomic(spark):
     assert (r["v_asof"], r["tag_asof"]) in {(1.0, "one"), (2.0, "two")}
 
 
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Matches older than the tolerance become nulls (merge_asof
+    semantics); fresh matches are untouched."""
+    from streaming_downsampling_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "lts": [
+                    base + dt.timedelta(minutes=30),   # fresh match
+                    base + dt.timedelta(hours=5),      # stale match
+                ],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "rts": [base], "v": [7.0]})
+    )
+    out = {
+        r["lts"]: (r["v_asof"], r["rts_asof"])
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["v"], tolerance="1 hour"
+        ).collect()
+    }
+    assert out[base + dt.timedelta(minutes=30)] == (7.0, base)
+    assert out[base + dt.timedelta(hours=5)] == (None, None)
+
+
 # ---------------------------------------------------------------------------
 # bounded streaming-dedup state
 # ---------------------------------------------------------------------------
