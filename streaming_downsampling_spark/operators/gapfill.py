@@ -41,6 +41,16 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
     # hand back the caller's window_start dtype (timestamp vs timestamp_ntz)
     # so the spine join needs no implicit coercion
     ws_type = dict(rollup_df.dtypes)["window_start"]
+    if ws_type == "timestamp_ntz":
+        # an NTZ grid has no zone: interpreting it via a non-UTC session
+        # would shift the epoch day-slicing off F.window's wall-clock grid
+        tz = rollup_df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"gapfill over TIMESTAMP_NTZ requires a UTC session timezone "
+                f"(got {tz!r}): set spark.sql.session.timeZone=UTC or cast "
+                "the input to TIMESTAMP"
+            )
     days = (
         rollup_df.groupBy(key)
         .agg(
