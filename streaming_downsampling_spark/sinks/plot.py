@@ -1,0 +1,182 @@
+"""PNG plot sink — the reference's matplotlib visualization output
+(/root/reference/new_evaluation.py:331-366: original signal as a line plus
+the downsampled points as scatter overlays) with ZERO image dependencies:
+the raster is pure numpy, the PNG container is written with stdlib
+``zlib``/``struct`` (the PNG spec's IHDR/IDAT/IEND chunk layout is public).
+
+A plot is an inherently driver-side terminal sink over ALREADY-DOWNSAMPLED
+data: the collect here is bounded by ``max_keys × max_points`` regardless of
+corpus size — the whole point of the downsampling engine is that what
+reaches a human-facing chart is small.  Series longer than ``max_points``
+are thinned with the engine's own LTTB selector (the same
+downsample-then-plot move the reference makes).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import kernels as K
+
+WHITE = (255, 255, 255)
+BORDER = (60, 60, 60)
+LINE = (31, 119, 180)     # the familiar matplotlib C0 blue
+MARK = (214, 39, 40)      # C3 red
+
+
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a truecolor PNG (filter 0)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("expected (H, W, 3) uint8")
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Inverse of :func:`png_bytes` for filter-0 truecolor PNGs (the test
+    oracle: our own output must round-trip pixel-exact)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, 0
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 2, "only truecolor-8 supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = [
+        np.frombuffer(raw[y * stride + 1 : (y + 1) * stride], dtype=np.uint8)
+        for y in range(len(raw) // stride)
+    ]
+    for y in range(len(rows)):
+        assert raw[y * stride] == 0, "unexpected scanline filter"
+    return np.stack(rows).reshape(len(rows), w, 3)
+
+
+def render_series(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    marks_x: np.ndarray | None = None,
+    marks_y: np.ndarray | None = None,
+    width: int = 800,
+    height: int = 300,
+    pad: int = 12,
+) -> np.ndarray:
+    """Rasterize one series: polyline + optional scatter marks."""
+    img = np.full((height, width, 3), 255, dtype=np.uint8)
+    img[0, :] = img[-1, :] = BORDER
+    img[:, 0] = img[:, -1] = BORDER
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) == 0:
+        return img
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(np.nanmin(ys)), float(np.nanmax(ys))
+    xr = (x1 - x0) or 1.0
+    yr = (y1 - y0) or 1.0
+
+    def to_px(x, y):
+        px = pad + (np.asarray(x) - x0) / xr * (width - 1 - 2 * pad)
+        py = (height - 1 - pad) - (np.asarray(y) - y0) / yr * (height - 1 - 2 * pad)
+        return px, py
+
+    px, py = to_px(xs, ys)
+    for i in range(len(px) - 1):
+        n = int(max(abs(px[i + 1] - px[i]), abs(py[i + 1] - py[i]))) + 2
+        lx = np.clip(np.linspace(px[i], px[i + 1], n).round().astype(int), 0, width - 1)
+        ly = np.clip(np.linspace(py[i], py[i + 1], n).round().astype(int), 0, height - 1)
+        img[ly, lx] = LINE
+    if marks_x is not None and len(marks_x):
+        mx, my = to_px(np.asarray(marks_x, np.float64), np.asarray(marks_y, np.float64))
+        for cx, cy in zip(mx.round().astype(int), my.round().astype(int)):
+            ya, yb = max(cy - 2, 0), min(cy + 3, height)
+            xa, xb = max(cx - 2, 0), min(cx + 3, width)
+            img[ya:yb, xa:xb] = MARK
+    return img
+
+
+def plot_downsampled(
+    df: DataFrame,
+    out_dir: str,
+    selected: DataFrame | None = None,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    sel_ts_col: str = "sel_ts",
+    sel_value_col: str = "sel_value",
+    width: int = 800,
+    height: int = 300,
+    max_keys: int = 8,
+    max_points: int = 4000,
+) -> list[str]:
+    """Write one PNG per key: the raw series as a line, the downsampler's
+    selected points (``SELECT_SCHEMA`` rows from ``downsample_select``) as
+    scatter marks — the reference's evaluation figure as a bounded sink.
+
+    Returns the written paths (sorted by key).  Keys beyond ``max_keys``
+    are skipped; series longer than ``max_points`` are LTTB-thinned
+    driver-side before rasterizing.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    keys = [
+        r[0]
+        for r in df.select(key_col).distinct().orderBy(key_col).limit(max_keys).collect()
+    ]
+    sel_rows: dict[str, list] = {}
+    if selected is not None:
+        for r in (
+            selected.filter(F.col(key_col).isin(keys))
+            .select(key_col, sel_ts_col, sel_value_col)
+            .collect()
+        ):
+            sel_rows.setdefault(r[0], []).append((r[1], r[2]))
+    paths = []
+    for k in keys:
+        rows = (
+            df.filter(F.col(key_col) == k)
+            .select(ts_col, value_col)
+            .orderBy(ts_col)
+            .limit(max_points * 4)
+            .collect()
+        )
+        xs = np.array([r[0].timestamp() for r in rows], dtype=np.float64)
+        ys = np.array([float(r[1]) for r in rows], dtype=np.float64)
+        if len(xs) > max_points:
+            idx = K.lttb_indices(ys, max_points)
+            xs, ys = xs[idx], ys[idx]
+        mk = sorted(sel_rows.get(k, []))
+        mx = np.array([t.timestamp() for t, _ in mk], dtype=np.float64)
+        my = np.array([float(v) for _, v in mk], dtype=np.float64)
+        img = render_series(xs, ys, mx, my, width=width, height=height)
+        path = os.path.join(out_dir, f"{k}.png")
+        with open(path, "wb") as f:
+            f.write(png_bytes(img))
+        paths.append(path)
+    return paths
