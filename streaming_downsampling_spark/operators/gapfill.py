@@ -31,26 +31,42 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
     length), whereas the sliced form bounds every array at 1440 elements and
     lets the explode stream.
 
-    All grid arithmetic is on epoch seconds (``unix_seconds`` →
-    ``timestamp_seconds``), the same 1970-anchored grid ``F.window``
-    aligns to — so the sliced spine equals the dense one in EVERY session
-    timezone, including half-hour-offset and DST zones where local-midnight
-    ``date_trunc('day')`` would fall off the tier grid (round-2 ADVICE).
+    All grid arithmetic is on epoch seconds — the same 1970-anchored grid
+    ``F.window`` aligns to — so the sliced spine equals the dense one in
+    EVERY session timezone, including half-hour-offset and DST zones where
+    local-midnight ``date_trunc('day')`` would fall off the tier grid
+    (round-2 ADVICE).  NTZ inputs use ``timestampdiff/-add`` against the
+    NTZ epoch literal (wall-clock arithmetic; a cast to TIMESTAMP would
+    reinterpret through the session zone); true timestamps use
+    ``unix_seconds``.  Asserted under a Kathmandu (+05:45) session in
+    tests/test_round3.py.
     """
     step = tier_seconds(tier)
     # hand back the caller's window_start dtype (timestamp vs timestamp_ntz)
     # so the spine join needs no implicit coercion
     ws_type = dict(rollup_df.dtypes)["window_start"]
     if ws_type == "timestamp_ntz":
-        # an NTZ grid has no zone: interpreting it via a non-UTC session
-        # would shift the epoch day-slicing off F.window's wall-clock grid
-        tz = rollup_df.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-            raise ValueError(
-                f"gapfill over TIMESTAMP_NTZ requires a UTC session timezone "
-                f"(got {tz!r}): set spark.sql.session.timeZone=UTC or cast "
-                "the input to TIMESTAMP"
+        # NTZ has no zone: a cast to TIMESTAMP would reinterpret via the
+        # session timezone and shift the grid; timestampdiff/-add against
+        # the NTZ epoch literal is wall-clock arithmetic, tz-independent
+        def to_sec(c):
+            return F.expr(
+                f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
             )
+
+        def from_sec(c):
+            return F.expr(
+                f"timestampadd(SECOND, {c}, TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            )
+
+    else:
+
+        def to_sec(c):
+            return F.unix_seconds(F.col(c).cast("timestamp"))
+
+        def from_sec(c):
+            return F.timestamp_seconds(F.col(c))
+
     days = (
         rollup_df.groupBy(key)
         .agg(
@@ -59,8 +75,8 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
         )
         .select(
             key,
-            F.unix_seconds(F.col("w0").cast("timestamp")).alias("s0"),
-            F.unix_seconds(F.col("w1").cast("timestamp")).alias("s1"),
+            to_sec("w0").alias("s0"),
+            to_sec("w1").alias("s1"),
         )
         .select(
             key,
@@ -86,7 +102,7 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
         ).alias("tick_sec"),
     ).select(
         key,
-        F.timestamp_seconds(F.col("tick_sec")).cast(ws_type).alias("window_start"),
+        from_sec("tick_sec").cast(ws_type).alias("window_start"),
     )
 
 

@@ -59,6 +59,50 @@ def test_asof_without_dedup_still_atomic(spark):
     assert (r["v_asof"], r["tag_asof"]) in {(1.0, "one"), (2.0, "two")}
 
 
+def test_time_spine_timezone_independent(spark):
+    """The spine over NTZ rollups must be identical under any session
+    timezone — Kathmandu's +05:45 offset breaks both date_trunc day
+    slicing and naive NTZ→TS casting (round-2 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from streaming_downsampling_spark.operators.gapfill import time_spine
+
+    def build(sess):
+        base = dt.datetime(2024, 1, 3, 7, 42)
+        pdf = pd.DataFrame(
+            {
+                "key": ["k"] * 2,
+                "ts": [base, base + dt.timedelta(days=2, hours=3)],
+                "v": [1.0, 2.0],
+            }
+        )
+        df = (
+            sess.createDataFrame(pdf)
+            .select(
+                "key",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "v",
+            )
+            .select(
+                "key",
+                F.window("ts", "1 hour")["start"].alias("window_start"),
+                "v",
+            )
+        )
+        return sorted(
+            r["window_start"] for r in time_spine(df, "1h").collect()
+        )
+
+    utc_ticks = build(spark)
+    ktm = spark.newSession()
+    ktm.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        assert build(ktm) == utc_ticks
+        assert len(utc_ticks) == 2 * 24 + 3 + 1
+    finally:
+        ktm.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_asof_tolerance_nulls_stale_matches(spark):
     """Matches older than the tolerance become nulls (merge_asof
     semantics); fresh matches are untouched."""
