@@ -105,7 +105,10 @@ class Warehouse:
             raise FileNotFoundError(
                 f"no data for table {table!r} partitions {partitions!r}"
             )
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: dirs written before a column was added lack it —
+        # schema-evolution reads fill the gap with nulls (Iceberg add-column
+        # semantics)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def _next_snap(self, meta: dict) -> int:
         return (meta["current"] or 0) + 1 if meta["snapshots"] else 1
@@ -234,7 +237,7 @@ class Warehouse:
             remaining = old.join(df.select(*keys).distinct(), keys, "left_anti")
             return self.overwrite(
                 table,
-                remaining.unionByName(df),
+                remaining.unionByName(df, allowMissingColumns=True),
                 op="merge",
                 partition_by=partition_by,
             )
@@ -261,13 +264,27 @@ class Warehouse:
         merged = df
         if old_dirs:
             on = list(dict.fromkeys([*keys, partition_by]))
-            old = self.spark.read.parquet(*old_dirs)
+            old = self.spark.read.option("mergeSchema", "true").parquet(*old_dirs)
             keep = old.join(df.select(*on).distinct(), on, "left_anti")
-            merged = keep.unionByName(df)
+            # allowMissingColumns: a batch carrying a NEW column (or missing
+            # a legacy one) merges cleanly — the Iceberg add-column path
+            merged = keep.unionByName(df, allowMissingColumns=True)
         new_parts, rows = self._write_partitioned(table, snap, merged, partition_by)
         df.unpersist()
         parts.update(new_parts)
         return self._finish(table, "merge", rows, meta, snap, parts)
+
+    def compact(self, table: str, partition_by: str | None = None) -> int:
+        """Rewrite the current snapshot into ONE data dir per partition
+        (Iceberg's ``rewrite_data_files`` maintenance action): every append
+        adds a dir per touched partition, so a long-running stream
+        accumulates read fan-out and manifest growth; compaction restores
+        O(#partitions) dirs in one partitionBy job.  A normal snapshot
+        commit — time travel still reaches the pre-compaction layout until
+        ``expire_snapshots`` reclaims it."""
+        return self.overwrite(
+            table, self.read(table), op="compact", partition_by=partition_by
+        )
 
     def partition_keys(self, table: str, snapshot_id: int | None = None) -> list[str]:
         """Partition keys of a snapshot's manifest (sorted)."""

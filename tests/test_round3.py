@@ -354,6 +354,47 @@ def _job_count(spark, fn):
     return after - before
 
 
+def test_warehouse_schema_evolution_and_compaction(spark, tmp_path):
+    """Iceberg-essential maintenance: a merge batch may ADD a column (old
+    rows read back as null — add-column evolution), and compaction
+    collapses accumulated per-append dirs to one per partition while
+    preserving the data."""
+    from streaming_downsampling_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def batch(days, cols):
+        rows = [
+            tuple([f"2024-01-{d:02d}", f"{d}-{i}"] + [float(i)] * (len(cols) - 2))
+            for d in days
+            for i in range(3)
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+    wh.overwrite("t", batch([1, 2], ["day", "k", "v"]), partition_by="day")
+    wh.append("t", batch([1, 2], ["day", "k", "v"]), partition_by="day")
+    wh.append("t", batch([3], ["day", "k", "v"]), partition_by="day")
+    # schema evolution: the merge batch carries a NEW column `extra`
+    wh.merge_upsert(
+        "t", batch([2], ["day", "k", "v", "extra"]), ["k"], partition_by="day"
+    )
+    got = wh.read("t").toPandas()
+    assert "extra" in got.columns
+    assert got[got.day == "2024-01-02"]["extra"].notna().all()
+    assert got[got.day == "2024-01-03"]["extra"].isna().all()
+    # day 1 saw overwrite+append: 2 dirs; compaction -> 1 dir per partition
+    meta = wh._load_meta("t")
+    before = meta["snapshots"][-1]["parts"]
+    assert len(before["2024-01-01"]) == 2
+    n_before = wh.read("t").count()
+    wh.compact("t", partition_by="day")
+    after = wh._load_meta("t")["snapshots"][-1]["parts"]
+    assert all(len(ds) == 1 for ds in after.values())
+    assert wh.read("t").count() == n_before
+    # compacted table still carries the evolved schema
+    assert "extra" in wh.read("t").columns
+
+
 def test_partitioned_commit_job_count_constant(spark, tmp_path):
     """A merge touching 10 partition values must run the same number of
     Spark jobs as one touching 2 — the round-2 per-value write loop is gone.
