@@ -12,6 +12,11 @@ Two workloads:
    BASELINE.json metric: turns/sec through gap-fill + tiered rollups +
    DWT/attention downsample + Gorilla chunks);
 2. the query catalog on the driver's sf-dir tables (per-query seconds).
+
+Reporting: 3 interleaved passes in one warm session; published per-query
+numbers are MEDIANS (a real single measurement), "value" is the median of
+the three real pass totals, and per-query minima appear only in the
+secondary "queries_min"/"total_min" noise-floor columns.
 """
 
 from __future__ import annotations
@@ -26,16 +31,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "rollup_1h",
     "rollup_1d_cascade",
+    "rollup_15m",
     "gapfill_linear",
+    "ewma_smooth",
     "haar_threshold",
     "cumshare_select",
     "gorilla_roundtrip",
     "asof_enrich",
+    "asof_tolerance",
     "model_downsample",
     "downsample_error_bench",
     "pricing_summary",
     "top_revenue_orders",
     "dedup_exact",
+    "dedup_components_star",
     "minhash_lsh",
     "cosine_topk",
     "token_count",
@@ -140,38 +149,55 @@ def main() -> None:
     transcript_pipeline(spark, 1.0)
 
     # Noise control: this host's run-to-run wall variance is up to ~3x
-    # (documented in BENCH.md; round-2's driver sample landed 1.7x above the
-    # repo's own run of the identical workload).  Every measurement below is
-    # the MIN over two interleaved passes inside one warm session —
-    # interference on this box is one-sided additive, so per-query minima
-    # estimate the quiet-host cost.
+    # (documented in BENCH.md).  Three interleaved passes inside one warm
+    # session; the PUBLISHED number for each query is the per-query MEDIAN —
+    # a real single measurement an external single-pass run can reproduce —
+    # and the headline total is the median of the three REAL pass totals
+    # (round-3 ADVICE: a sum of per-query minima is a composite no single
+    # run achieved).  Per-query minima are kept as a secondary noise-floor
+    # column only.
+    passes = 3
     # 1. transcript pipeline throughput (transcript SF scaled off the dir SF)
     tr_sf = max(sf * 200, 1.0)  # sf0.1 -> ~200k turns
-    n_turns, elapsed = transcript_pipeline(spark, tr_sf)
-    _, elapsed2 = transcript_pipeline(spark, tr_sf)
-    elapsed = min(elapsed, elapsed2)
-    timings: dict[str, float] = {"transcript_pipeline": round(elapsed, 3)}
-    turns_per_sec = n_turns / elapsed if elapsed > 0 else 0.0
+    pipe_runs = []
+    for _ in range(passes):
+        n_turns, elapsed = transcript_pipeline(spark, tr_sf)
+        pipe_runs.append(elapsed)
 
-    # 2. catalog queries on the sf-dir tables: two interleaved passes
-    for _pass in range(2):
+    # 2. catalog queries on the sf-dir tables, interleaved with pass totals
+    per_query: dict[str, list[float]] = {}
+    pass_totals: list[float] = []
+    for p in range(passes):
+        pass_total = pipe_runs[p]
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-    total = sum(timings.values())
+            per_query.setdefault(name, []).append(dt)
+            pass_total += dt
+        pass_totals.append(round(pass_total, 3))
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    timings = {"transcript_pipeline": round(med(pipe_runs), 3)}
+    timings.update({n: med(ts) for n, ts in per_query.items()})
+    floors = {"transcript_pipeline": round(min(pipe_runs), 3)}
+    floors.update({n: min(ts) for n, ts in per_query.items()})
+    elapsed = med(pipe_runs)
+    turns_per_sec = n_turns / elapsed if elapsed > 0 else 0.0
 
     spark.stop()
     print(
         json.dumps(
             {
                 "metric": "rollup+downsample pipeline + query catalog wall time",
-                "value": round(total, 3),
+                "value": med(pass_totals),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": floors,
+                "pass_totals": pass_totals,
+                "total_min": round(sum(floors.values()), 3),
                 "sf": sf,
                 "turns": n_turns,
                 "turns_per_sec": round(turns_per_sec, 1),

@@ -445,6 +445,11 @@ def connected_components(
 
     Output: (node, component) for every node appearing in ``pairs``.
     """
+    if max_iter < 1:
+        # the for/else convergence check below reads `changed`, which is only
+        # bound inside the loop — a zero-round call must fail loudly up front
+        # (round-3 ADVICE: max_iter <= 0 used to surface as a NameError)
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

@@ -141,9 +141,16 @@ def plot_downsampled(
     scatter marks — the reference's evaluation figure as a bounded sink.
 
     Returns the written paths (sorted by key).  Keys beyond ``max_keys``
-    are skipped; series longer than ``max_points`` are LTTB-thinned
-    driver-side before rasterizing.
+    are skipped.  Series longer than ``4 * max_points`` are first
+    stride-thinned DISTRIBUTEDLY across their whole time range (uniform
+    row-number stride — executors do the reduction, the driver never
+    collects more than ``4 * max_points`` rows per key), then LTTB-thinned
+    to ``max_points`` driver-side before rasterizing.  Round-3 ADVICE: the
+    old code silently kept only the EARLIEST ``4 * max_points`` rows, so a
+    long series plotted just its head; the stride keeps the full span.
     """
+    from pyspark.sql import Window
+
     os.makedirs(out_dir, exist_ok=True)
     keys = [
         r[0]
@@ -159,13 +166,18 @@ def plot_downsampled(
             sel_rows.setdefault(r[0], []).append((r[1], r[2]))
     paths = []
     for k in keys:
-        rows = (
-            df.filter(F.col(key_col) == k)
-            .select(ts_col, value_col)
-            .orderBy(ts_col)
-            .limit(max_points * 4)
-            .collect()
-        )
+        sub = df.filter(F.col(key_col) == k).select(ts_col, value_col)
+        cnt = sub.count()
+        cap = max_points * 4
+        if cnt > cap:
+            step = -(-cnt // cap)  # ceil: keeps <= cap rows, full span
+            w = Window.orderBy(ts_col)
+            sub = (
+                sub.withColumn("_rn", F.row_number().over(w) - 1)
+                .filter((F.col("_rn") % step == 0) | (F.col("_rn") == cnt - 1))
+                .drop("_rn")
+            )
+        rows = sub.orderBy(ts_col).collect()
         xs = np.array([r[0].timestamp() for r in rows], dtype=np.float64)
         ys = np.array([float(r[1]) for r in rows], dtype=np.float64)
         if len(xs) > max_points:

@@ -250,10 +250,18 @@ class Warehouse:
         # then write keep ∪ batch with a single partitionBy commit.  The
         # touched-value set is resolved with one small distinct() collect
         # (partition VALUES, not data); all data I/O is one read + one write.
+        # The values are collected through Spark's OWN cast-to-string — the
+        # exact representation `_write_partitioned` puts in the manifest via
+        # partition directory names — because Python's str() disagrees with
+        # it for booleans ('True' vs 'true') and sci-notation floats, and a
+        # representation miss here would skip the anti-join and commit
+        # duplicate keys (round-3 ADVICE finding).
         df = df.persist()
         touched = {
-            str(r[0])
-            for r in df.select(partition_by).distinct().collect()
+            "None" if r[0] is None else r[0]
+            for r in df.select(
+                F.col(partition_by).cast("string")
+            ).distinct().collect()
         }
         old_dirs = [
             self._data_dir(table, d)
