@@ -2207,6 +2207,227 @@ LEFT JOIN psum p USING (key, window_start)
 """
 
 
+# ---------------------------------------------------------------------------
+# db4 value parity: the 8-tap Daubechies DWT as closed-form SQL
+# ---------------------------------------------------------------------------
+
+def _db4_tap_chain(arr: str, n: str, i: str, taps, engine: str) -> str:
+    """One wavelet coefficient as an explicit left-associated 8-term sum.
+
+    ``coef[i] = Σ_k tap_k · x[sym(2i+1+k−7)]`` over the half-sample
+    symmetric extension (period 2n) — exactly the windowed dot product the
+    numpy kernel computes (wavelets.py dwt; verified bit-identical).  The
+    SAME left-to-right association is emitted for Spark and DuckDB so both
+    engines produce bit-identical doubles; only the non-negative-modulo
+    spelling differs (Spark ``pmod`` vs DuckDB's sign-of-dividend ``%``).
+    """
+    terms = []
+    for k, tap in enumerate(taps):
+        p = f"2*{i}+({k - 6})"
+        if engine == "spark":
+            q = f"pmod({p}, 2*{n})"
+            idx = f"(CASE WHEN {q} < {n} THEN {q} ELSE 2*{n}-1-{q} END) + 1"
+            terms.append(f"{tap!r} * element_at({arr}, cast(({idx}) as int))")
+        else:
+            q = f"((({p}) % (2*{n}) + 2*{n}) % (2*{n}))"
+            idx = f"(CASE WHEN {q} < {n} THEN {q} ELSE 2*{n}-1-{q} END) + 1"
+            terms.append(f"{tap!r} * {arr}[CAST(({idx}) AS INT)]")
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return chain
+
+
+def _db4_taps() -> tuple[list[float], list[float]]:
+    from .functions import wavelets as wv
+
+    _, _, rec_lo, rec_hi = wv.filters("db4")
+    return [float(v) for v in rec_lo], [float(v) for v in rec_hi]
+
+
+def q_model_db4_parity(spark, sf_dir):
+    """Value-level oracle for the FLAGSHIP db4 model pipeline (round-3
+    verdict #2; the Haar twin proved the pooled/selection laws, this one
+    proves the db4 COEFFICIENT VALUES).  The db4 DWT is a fixed 8-tap FIR
+    dot product over the half-sample-symmetric extension
+    (/root/reference/core/downsampling_algorithm2.py:348-365 with
+    wavelet='db4', mode='symmetric'), so cA and cD are closed-form SQL:
+    per (event_type, day, 200-row segment) the coefficient arrays are
+    computed RELATIONALLY (collect sorted segment → 8-term tap sums over
+    codegen'd array indexing) and the kernel's outputs are checked against
+    them:
+
+    * shape laws: n_pooled = Σ_seg m//2, n_detail = Σ_seg max(1,
+      round(0.8·m)) with m = (len_seg+7)//2;
+    * pooled VALUES: rounded sum + first/last element vs the relational
+      avg-pool of the relational cA;
+    * detail VALUES: every attention-selected coefficient is a member of
+      the relational db4 cD multiset (``n_detail_matched == n_detail``).
+      Attention *ranking* stays pytest-only (tests/test_kernels.py).
+
+    The DuckDB oracle runs the identical tap sums (same literals, same
+    association order → bit-identical doubles) via list_transform.
+    """
+    from pyspark.sql import Window
+
+    rec_lo, rec_hi = _db4_taps()
+    ev = _t(spark, sf_dir, "events")
+    out = downsample_model(
+        ev, window="1 day", key_col="event_type", ts_col="ts",
+        value_col="value", order_col="event_id", wavelet="db4",
+    )
+    model = out.select(
+        "key",
+        "window_start",
+        F.col("n").cast("long").alias("n"),
+        F.size("pooled_approx").cast("long").alias("n_pooled"),
+        F.size("detail_values").cast("long").alias("n_detail"),
+        F.round(
+            F.aggregate("pooled_approx", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("pooled_sum"),
+        F.round(F.element_at("pooled_approx", 1), 6).alias("pooled_first"),
+        F.round(F.element_at("pooled_approx", -1), 6).alias("pooled_last"),
+        "detail_values",
+    ).localCheckpoint(eager=True)
+    clean = F.when(
+        F.col("value").isNull()
+        | F.isnan("value")
+        | (F.abs("value") == float("inf")),
+        F.lit(0.0),
+    ).otherwise(F.col("value"))
+    wn = Window.partitionBy("key", "window_start").orderBy("event_id")
+    rows = (
+        ev.select(
+            F.col("event_type").cast("string").alias("key"),
+            F.date_trunc("day", "ts").alias("window_start"),
+            clean.alias("v"),
+            "event_id",
+        )
+        .withColumn("rn0", (F.row_number().over(wn) - 1).cast("long"))
+        .withColumn("seg", F.expr("rn0 div 200"))
+        .withColumn("rns", F.expr("rn0 % 200"))
+    )
+    segs = (
+        rows.groupBy("key", "window_start", "seg")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(rns, v))), s -> s.v)").alias("arr"),
+            F.count(F.lit(1)).alias("nseg"),
+        )
+        # the kernel drops trailing segments shorter than 2 points; the
+        # first segment (whole short groups) always runs
+        .filter((F.col("nseg") >= 2) | (F.col("seg") == 0))
+        .withColumn("m", F.expr("(nseg + 7) div 2"))
+    )
+    ca_chain = _db4_tap_chain("arr", "nseg", "i", rec_lo, "spark")
+    cd_chain = _db4_tap_chain("arr", "nseg", "i", rec_hi, "spark")
+    coeff = segs.select(
+        "key", "window_start", "seg", "m",
+        F.expr(f"transform(sequence(0, cast(m as int) - 1), i -> {ca_chain})").alias("ca"),
+        F.expr(f"transform(sequence(0, cast(m as int) - 1), i -> {cd_chain})").alias("cd"),
+    ).withColumn(
+        "pl",
+        F.expr(
+            "transform(sequence(0, cast(m div 2 as int) - 1),"
+            " j -> (element_at(ca, cast(2*j+1 as int))"
+            "       + element_at(ca, cast(2*j+2 as int))) / 2.0)"
+        ),
+    )
+    cd_rel = (
+        coeff.select("key", "window_start", F.explode("cd").alias("cdv"))
+        .withColumn("cd6", F.round("cdv", 6))
+        .groupBy("key", "window_start", "cd6")
+        .agg(F.count(F.lit(1)).alias("cnt_all"))
+    )
+    sel = (
+        model.select("key", "window_start", F.explode("detail_values").alias("dv"))
+        .withColumn("cd6", F.round("dv", 6))
+        .groupBy("key", "window_start", "cd6")
+        .agg(F.count(F.lit(1)).alias("cnt_sel"))
+    )
+    matched = (
+        sel.join(cd_rel, ["key", "window_start", "cd6"], "left")
+        .groupBy("key", "window_start")
+        .agg(
+            F.sum(F.least("cnt_sel", F.coalesce("cnt_all", F.lit(0)))).alias(
+                "n_detail_matched"
+            )
+        )
+    )
+    return (
+        model.drop("detail_values")
+        .join(matched, ["key", "window_start"], "left")
+        .select(
+            "key",
+            "window_start",
+            "n",
+            "n_pooled",
+            "n_detail",
+            F.coalesce("n_detail_matched", F.lit(0))
+            .cast("long")
+            .alias("n_detail_matched"),
+            "pooled_sum",
+            "pooled_first",
+            "pooled_last",
+        )
+    )
+
+
+def _sql_model_db4() -> str:
+    rec_lo, _ = _db4_taps()
+    ca_chain = _db4_tap_chain("arr", "nseg", "i", rec_lo, "duckdb")
+    return f"""
+WITH base AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+         CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+              THEN 0.0 ELSE value END AS v,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY event_id) - 1 AS rn0
+  FROM events),
+segs AS (
+  SELECT key, window_start, rn0 // 200 AS seg,
+         list(v ORDER BY rn0) AS arr, count(*) AS nseg
+  FROM base GROUP BY 1, 2, 3),
+kept AS (
+  SELECT *, (nseg + 7) // 2 AS m FROM segs WHERE nseg >= 2 OR seg = 0),
+coeff AS (
+  SELECT key, window_start, seg, m,
+         list_transform(range(0, CAST(m AS INT)), i -> {ca_chain}) AS ca
+  FROM kept),
+pooled AS (
+  SELECT key, window_start, seg, m,
+         list_transform(range(0, CAST(m // 2 AS INT)),
+                        j -> (ca[CAST(2*j+1 AS INT)] + ca[CAST(2*j+2 AS INT)]) / 2.0) AS pl
+  FROM coeff),
+shape AS (
+  SELECT key, window_start,
+         CAST(sum(m // 2) AS BIGINT) AS n_pooled,
+         CAST(sum(greatest(1, CAST(round(0.8 * m, 0) AS BIGINT)))
+              AS BIGINT) AS n_detail
+  FROM kept GROUP BY 1, 2),
+psum AS (
+  SELECT key, window_start,
+         round(sum(sub.s), 4) AS pooled_sum,
+         round(arg_min(sub.first_p, sub.seg), 6) AS pooled_first,
+         round(arg_max(sub.last_p, sub.seg), 6) AS pooled_last
+  FROM (SELECT key, window_start, seg, list_sum(pl) AS s,
+               pl[1] AS first_p, pl[len(pl)] AS last_p
+        FROM pooled) sub
+  GROUP BY 1, 2),
+counts AS (
+  SELECT key, window_start, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2)
+SELECT c.key, c.window_start, c.n, s.n_pooled, s.n_detail,
+       s.n_detail AS n_detail_matched,
+       p.pooled_sum, p.pooled_first, p.pooled_last
+FROM counts c
+JOIN shape s USING (key, window_start)
+JOIN psum p USING (key, window_start)
+"""
+
+
+SQL_MODEL_DB4 = _sql_model_db4()
+
+
 def q_error_bench_sql(spark, sf_dir):
     """SQL-reconstructable slice of the reconstruction-error benchmark:
     uniform / avg_pool / max_pool selection + endpoint-anchored linear
@@ -2434,6 +2655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gorilla_roundtrip": q_gorilla_roundtrip,
     "asof_enrich": q_asof_enrich,
     "model_haar_parity": q_model_haar_parity,
+    "model_db4_parity": q_model_db4_parity,
     "error_bench_sql": q_error_bench_sql,
     # Spark-only (rows-only correctness check): frozen-attention model and
     # the multi-metric reconstruction bench have no SQL twin; their
@@ -2548,6 +2770,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "model_haar_parity": SQL_MODEL_HAAR,
+    "model_db4_parity": SQL_MODEL_DB4,
     "error_bench_sql": SQL_ERROR_BENCH,
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
     "rollup_15m": SQL_ROLLUP_15M,
