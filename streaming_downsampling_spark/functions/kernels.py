@@ -41,6 +41,30 @@ def random_indices(n: int, target: int, seed: int = 42) -> np.ndarray:
     return np.sort(rng.choice(n, size=k, replace=False))
 
 
+def hash_random_indices(
+    n: int, target: int, group_key: str = "", seed: int = 42
+) -> np.ndarray:
+    """Portable seeded random selection: rank positions by
+    ``md5('rs:{seed}:{key}:{i}')`` and keep the ``min(target, n)`` smallest
+    digests, returned sorted by position.  Same selection semantics as the
+    reference's seeded ``np.random.choice`` sampler
+    (/root/reference/new_evaluation.py:96-101) but the RNG is a content
+    hash instead of PCG64, so an external SQL engine reproduces the
+    identical index set (numpy bit-streams are not portable across
+    engines — the documented mixup-lambda precedent).  Uniform over
+    positions; md5 makes rank ties impossible."""
+    import hashlib
+
+    k = min(target, n)
+    if k <= 0:
+        return np.array([], dtype=np.int64)
+    pre = f"rs:{seed}:{group_key}:".encode()
+    digs = np.array(
+        [hashlib.md5(pre + str(i).encode()).hexdigest() for i in range(n)]
+    )
+    return np.sort(np.argsort(digs, kind="stable")[:k].astype(np.int64))
+
+
 def avg_pool(x: np.ndarray, target: int) -> np.ndarray:
     """Non-overlapping window means, window = n // target
     (/root/reference/new_evaluation.py:74-83)."""

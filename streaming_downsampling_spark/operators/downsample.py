@@ -43,6 +43,9 @@ from ._groupmap import group_bounds, sorted_group_map
 _SELECTORS: dict[str, Callable[..., np.ndarray]] = {
     "uniform": lambda x, t, **kw: K.uniform_indices(len(x), t),
     "random": lambda x, t, **kw: K.random_indices(len(x), t, seed=kw.get("seed", 42)),
+    "random_hash": lambda x, t, **kw: K.hash_random_indices(
+        len(x), t, group_key=kw.get("group_key", ""), seed=kw.get("seed", 42)
+    ),
     "minmax": lambda x, t, **kw: K.minmax_indices(x, t),
     "lttb": lambda x, t, **kw: K.lttb_indices(x, t),
     "pip": lambda x, t, **kw: K.pip_indices(x, t),
@@ -122,7 +125,8 @@ def downsample_select(
         for i in range(len(bounds) - 1):
             a, b = bounds[i], bounds[i + 1]
             x = K.sanitize(vals[a:b])
-            idx = selector(x, target, **kw)
+            # hash-seeded selectors salt on the group key (portable RNG)
+            idx = selector(x, target, **{**kw, "group_key": str(keys[a])})
             out_key.append(np.repeat(keys[a], len(idx)))
             out_ws.append(np.repeat(ws[a], len(idx)))
             out_pos.append(idx.astype(np.int32))
@@ -211,7 +215,9 @@ def downsample_metrics_multi(
             a, b = bounds[i], bounds[i + 1]
             x = K.sanitize(vals[a:b])
             for method in methods:
-                k, m = _method_metrics(x, method, target, **kw)
+                k, m = _method_metrics(
+                    x, method, target, **{**kw, "group_key": str(keys[a])}
+                )
                 rows.append(
                     {
                         "key": keys[a],

@@ -2430,16 +2430,21 @@ SQL_MODEL_DB4 = _sql_model_db4()
 
 def q_error_bench_sql(spark, sf_dir):
     """SQL-reconstructable slice of the reconstruction-error benchmark:
-    uniform / avg_pool / max_pool selection + endpoint-anchored linear
-    reconstruction + MSE/MAE (/root/reference/new_evaluation.py:66-94,
-    185-209) are pure window/join SQL, so the distributed metrics kernel
-    gets a full per-window value oracle.  LTTB/PIP/wavelet stay
-    invariant-oracled (float-tie risk, see ``lttb_select``) and run in the
-    rows-only ``downsample_error_bench``."""
+    uniform / avg_pool / max_pool / minmax / random_hash selection +
+    endpoint-anchored linear reconstruction + MSE/MAE
+    (/root/reference/new_evaluation.py:66-137, 185-209) are pure
+    window/join SQL, so the distributed metrics kernel gets a full
+    per-window value oracle for FIVE of the reference's methods (round-3
+    verdict #3; minmax is per-block argmin/argmax with numpy's
+    first-occurrence tie-break mirrored as (v, rn0) ordering, random_hash
+    is the portable md5-ranked analog of the reference's seeded random
+    sampler).  LTTB/PIP/wavelet stay invariant-oracled (float-tie risk,
+    see ``lttb_select``) and run in the rows-only
+    ``downsample_error_bench``."""
     ev = _t(spark, sf_dir, "events")
     metrics = downsample_metrics_multi(
         ev,
-        ["uniform", "avg_pool", "max_pool"],
+        ["uniform", "avg_pool", "max_pool", "minmax", "random_hash"],
         20,
         window="1 day",
         key_col="event_type",
@@ -2552,8 +2557,95 @@ pool_m AS (
          CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS k,
          round(avg((v - rec_max) * (v - rec_max)) + 1e-7, 3) AS mse3,
          round(avg(abs(v - rec_max)) + 1e-7, 4) AS mae4
-  FROM pool_rec GROUP BY 1, 2)
+  FROM pool_rec GROUP BY 1, 2),
+-- minmax: per-block argmin+argmax (first occurrence = (v, rn0) ordering),
+-- target//2 = 10 blocks, tail rows beyond full blocks never selected
+mm_sel AS (
+  SELECT key, window_start, rn0
+  FROM (
+    SELECT key, window_start, rn0,
+           row_number() OVER (PARTITION BY key, window_start, j
+                              ORDER BY v ASC, rn0 ASC) AS rlo,
+           row_number() OVER (PARTITION BY key, window_start, j
+                              ORDER BY v DESC, rn0 ASC) AS rhi
+    FROM (SELECT key, window_start, v, rn0,
+                 rn0 // greatest(1, n // 10) AS j,
+                 (n // greatest(1, n // 10)) * greatest(1, n // 10) AS m
+          FROM base) t
+    WHERE rn0 < m) s
+  WHERE rlo = 1 OR rhi = 1),
+mm_k AS (
+  SELECT b.key, b.window_start, b.n, b.v, b.rn0,
+         (s.rn0 IS NOT NULL) AS kept
+  FROM base b LEFT JOIN mm_sel s USING (key, window_start, rn0)),
+-- random_hash: md5-ranked seeded sampler (portable twin of the kernel)
+rh_k AS (
+  SELECT key, window_start, n, v, rn0,
+         row_number() OVER (PARTITION BY key, window_start
+                            ORDER BY md5('rs:42:' || key || ':'
+                                         || CAST(rn0 AS VARCHAR))) <= 20
+           AS kept
+  FROM base),
+mm_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM mm_k),
+mm_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM mm_f),
+mm_m AS (
+  SELECT key, window_start, 'minmax' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM mm_rec GROUP BY 1, 2),
+rh_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM rh_k),
+rh_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM rh_f),
+rh_m AS (
+  SELECT key, window_start, 'random_hash' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM rh_rec GROUP BY 1, 2)
 SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
+UNION ALL SELECT * FROM mm_m UNION ALL SELECT * FROM rh_m
 """
 
 

@@ -110,6 +110,22 @@ def test_plot_thinning_keeps_full_span(spark, tmp_path, monkeypatch):
     assert span >= 0.99 * (n - 1) * 60, "thinning dropped the series tail"
 
 
+def test_hash_random_indices_properties():
+    """The portable seeded sampler: deterministic, sorted, unique, k-capped,
+    and key-salted (different groups pick different index sets)."""
+    from streaming_downsampling_spark.functions.kernels import hash_random_indices
+
+    a = hash_random_indices(100, 20, group_key="g1")
+    b = hash_random_indices(100, 20, group_key="g1")
+    c = hash_random_indices(100, 20, group_key="g2")
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert len(a) == 20 and len(np.unique(a)) == 20
+    assert np.all(np.diff(a) > 0) and a.min() >= 0 and a.max() < 100
+    assert len(hash_random_indices(5, 20, group_key="g")) == 5
+    assert len(hash_random_indices(0, 20)) == 0
+
+
 def test_model_path_spreads_single_skewed_conversation(spark):
     """SURVEY §4.2 skew claim, end-to-end (round-3 verdict #6): one
     conversation holding 50% of ALL turns must still spread across at least
