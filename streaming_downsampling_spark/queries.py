@@ -1246,6 +1246,106 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming inactivity-gap sessionization (round-3 verdict #4): the
+    batch ``sessionize`` operator's ``F.session_window`` running INSIDE a
+    watermarked multi-batch stream, the reference's streaming context
+    (/root/reference/core/streaming_pipeline.py:346) on Structured
+    Streaming.  Sessions that straddle micro-batch boundaries must merge in
+    the session-window state store; append mode emits a session only once
+    the watermark passes its end, so state is bounded by the watermark
+    (sessions older than max-event-time − delay are evicted as they emit).
+    Unlike the other bounded-stream drivers (whose never-expiring watermark
+    makes batch order irrelevant), a REAL watermark makes file order load-
+    bearing: the source processes files by modification time, so the three
+    ts-range batches are written SEQUENTIALLY (one write each — a single
+    3-file write shares mtimes and replays in random order, late-dropping
+    ~everything), followed by a sentinel row at max(ts) whose batch advances
+    the watermark past the last real batch and flushes its finalized
+    sessions (the sentinel's own session stays in state and is never
+    emitted).  Oracle: the gaps-and-islands SQL with the same finalization
+    cutoff — sessions whose end <= max(ts) − delay."""
+    import hashlib as _hl
+
+    gap = "30 minutes"
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    src = f"/tmp/sds_stream_sess_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # event_id order == ts order in this table (verified: 0 inversions), so
+    # event_id terciles are time-ordered micro-batches
+    (
+        ev.filter(F.col("event_id") < hi // 3)
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    )
+    (
+        ev.filter((F.col("event_id") >= hi // 3) & (F.col("event_id") < 2 * hi // 3))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    (
+        ev.filter(F.col("event_id") >= 2 * hi // 3)
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    sentinel = (
+        ev.orderBy(F.desc("ts")).limit(1)
+        .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+        .withColumn("event_id", (F.lit(hi) + 1).cast(ev.schema["event_id"].dataType))
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "stream_sessionize_mem"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    spark.catalog.dropTempView(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.withWatermark("ts", "1 second")
+            .groupBy(F.col("user_id"), F.session_window("ts", gap))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+            .filter(F.col("user_id") >= 0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_sessionize did not finish within 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+SQL_STREAM_SESSIONIZE = (
+    "WITH "
+    + _SQL_SESSION_CTES
+    + """,
+wm AS (SELECT max(ts) - INTERVAL '1 second' AS w FROM events)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value
+FROM sess s, wm WHERE s.session_end <= wm.w"""
+)
+
+
 def q_percentiles_per_type(spark, sf_dir):
     """Exact interpolated percentiles (p50/p95/p99) per event type — the
     standard observability aggregate.  Spark ``percentile`` and DuckDB
@@ -2770,6 +2870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_last_n": q_stateful_last_n,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup": q_stream_dedup,
+    "stream_sessionize": q_stream_sessionize,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "dedup_exact": q_dedup_exact,
@@ -2857,6 +2958,7 @@ ORACLES: dict[str, str] = {
     "moving_stats": SQL_MOVING_STATS,
     "stream_static_enrich": SQL_STREAM_STATIC,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_sessionize": SQL_STREAM_SESSIONIZE,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
     "frame_sample": SQL_FRAME_SAMPLE,
