@@ -2594,27 +2594,44 @@ SQL_MODEL_DB4 = _sql_model_db4()
 
 def q_error_bench_sql(spark, sf_dir):
     """SQL-reconstructable slice of the reconstruction-error benchmark:
-    uniform / avg_pool / max_pool / minmax / random_hash selection +
-    endpoint-anchored linear reconstruction + MSE/MAE
-    (/root/reference/new_evaluation.py:66-137, 185-209) are pure
-    window/join SQL, so the distributed metrics kernel gets a full
-    per-window value oracle for FIVE of the reference's methods (round-3
-    verdict #3; minmax is per-block argmin/argmax with numpy's
-    first-occurrence tie-break mirrored as (v, rn0) ordering, random_hash
-    is the portable md5-ranked analog of the reference's seeded random
-    sampler).  LTTB/PIP/wavelet stay invariant-oracled (float-tie risk,
+    uniform / avg_pool / max_pool / minmax / random_hash /
+    haar-wavelet-threshold selection + endpoint-anchored linear
+    reconstruction + MSE/MAE (/root/reference/new_evaluation.py:66-152,
+    185-209) are pure window/join SQL, so the distributed metrics kernel
+    gets a full per-window value oracle for SIX of the reference's methods
+    (round-3 verdict #3):
+
+    * minmax: per-block argmin/argmax with numpy's first-occurrence
+      tie-break mirrored as (v, rn0) window ordering;
+    * random_hash: the portable md5-ranked analog of the reference's
+      seeded random sampler;
+    * wavelet_threshold (haar variant): haar cD is exact pairwise
+      arithmetic — bit-identical across engines, so the |cD| ranking
+      (stable ties by position) and the signal-domain index mapping
+      (np.round is banker's rounding = DuckDB ``round_even``) reproduce
+      the kernel's kept set exactly.
+
+    LTTB/PIP and db4-thresholding stay invariant-oracled (float-tie risk,
     see ``lttb_select``) and run in the rows-only
     ``downsample_error_bench``."""
     ev = _t(spark, sf_dir, "events")
     metrics = downsample_metrics_multi(
         ev,
-        ["uniform", "avg_pool", "max_pool", "minmax", "random_hash"],
+        [
+            "uniform",
+            "avg_pool",
+            "max_pool",
+            "minmax",
+            "random_hash",
+            "wavelet_threshold",
+        ],
         20,
         window="1 day",
         key_col="event_type",
         ts_col="ts",
         value_col="value",
         order_col="event_id",
+        wavelet="haar",
     )
     # +1e-7 boundary dither before rounding: 2-decimal inputs make err an
     # exact multiple of 1/(200·w), so the true MAE can sit EXACTLY on a
@@ -2807,9 +2824,72 @@ rh_m AS (
          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
          round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
          round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM rh_rec GROUP BY 1, 2)
+  FROM rh_rec GROUP BY 1, 2),
+-- haar wavelet thresholding: cD_j = x_2j*c - x_2j+1*c with the kernel's
+-- own filter literal c (the filter-bank dot product's exact op order, so
+-- |cD| is BIT-IDENTICAL to numpy and the ranking's ties resolve the same
+-- way); top target//2 by |cD| with stable position tie-break, mapped to
+-- signal indices via banker's round_even(j * n/len_cD) == np.round, plus
+-- a uniform stride for the approximation budget; n <= target keeps all
+wt_cd AS (
+  SELECT key, window_start, max(n) AS n, rn0 // 2 AS j,
+         CASE WHEN count(*) = 2
+              THEN arg_min(v, rn0) * 0.7071067811865476
+                   - arg_max(v, rn0) * 0.7071067811865476
+              ELSE 0.0 END AS cd
+  FROM base GROUP BY key, window_start, rn0 // 2),
+wt_rank AS (
+  SELECT key, window_start, n, j,
+         row_number() OVER (PARTITION BY key, window_start
+                            ORDER BY abs(cd) DESC, j ASC) AS r
+  FROM wt_cd),
+wt_detail AS (
+  SELECT DISTINCT key, window_start,
+         least(CAST(n - 1 AS BIGINT), greatest(0,
+           CAST(round_even(j * (CAST(n AS DOUBLE)
+                                / CAST((n + 1) // 2 AS DOUBLE)), 0)
+                AS BIGINT))) AS rn0
+  FROM wt_rank WHERE r <= 10),
+wt_k AS (
+  SELECT b.key, b.window_start, b.n, b.v, b.rn0,
+         (b.n <= 20
+          OR d.rn0 IS NOT NULL
+          OR (b.rn0 % greatest(1, b.n // 10) = 0
+              AND b.rn0 // greatest(1, b.n // 10) < 10)) AS kept
+  FROM base b
+  LEFT JOIN wt_detail d USING (key, window_start, rn0)),
+wt_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM wt_k),
+wt_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM wt_f),
+wt_m AS (
+  SELECT key, window_start, 'wavelet_threshold' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM wt_rec GROUP BY 1, 2)
 SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
 UNION ALL SELECT * FROM mm_m UNION ALL SELECT * FROM rh_m
+UNION ALL SELECT * FROM wt_m
 """
 
 
