@@ -1246,6 +1246,55 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def _timed_batch_stream(spark, sf_dir, tag):
+    """Bounded replay of the events table as TIME-ORDERED micro-batches for
+    operators whose watermark actually expires state (unlike
+    ``_drive_bounded_stream``'s never-expiring replays, where batch order
+    is irrelevant).  The file source processes files by MODIFICATION time,
+    so the three event-id terciles (event_id order == ts order in this
+    table: 0 inversions) are written SEQUENTIALLY — one write each; a
+    single 3-file write shares mtimes and replays in random order,
+    late-dropping rows — followed by a sentinel row at max(ts) whose
+    micro-batch advances the final watermark and flushes the third batch's
+    finalized windows (``availableNow`` runs no no-data flush after the
+    last file).  The sentinel's own group never finalizes and is filtered
+    by marker.  Returns (events_df, stream_df)."""
+    import hashlib as _hl
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    src = f"/tmp/sds_stream_{tag}_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    (
+        ev.filter(F.col("event_id") < hi // 3)
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    )
+    (
+        ev.filter((F.col("event_id") >= hi // 3) & (F.col("event_id") < 2 * hi // 3))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    (
+        ev.filter(F.col("event_id") >= 2 * hi // 3)
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    sentinel = (
+        ev.orderBy(F.desc("ts")).limit(1)
+        .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+        .withColumn(
+            "event_type", F.lit("__sentinel__").cast(ev.schema["event_type"].dataType)
+        )
+        .withColumn("event_id", (F.lit(hi) + 1).cast(ev.schema["event_id"].dataType))
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return ev, stream
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Streaming inactivity-gap sessionization (round-3 verdict #4): the
     batch ``sessionize`` operator's ``F.session_window`` running INSIDE a
@@ -1265,41 +1314,9 @@ def q_stream_sessionize(spark, sf_dir):
     sessions (the sentinel's own session stays in state and is never
     emitted).  Oracle: the gaps-and-islands SQL with the same finalization
     cutoff — sessions whose end <= max(ts) − delay."""
-    import hashlib as _hl
-
-    gap = "30 minutes"
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    hi = ev.agg(F.max("event_id")).collect()[0][0]
-    src = f"/tmp/sds_stream_sess_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
-    # event_id order == ts order in this table (verified: 0 inversions), so
-    # event_id terciles are time-ordered micro-batches
-    (
-        ev.filter(F.col("event_id") < hi // 3)
-        .coalesce(1).write.mode("overwrite").parquet(src)
-    )
-    (
-        ev.filter((F.col("event_id") >= hi // 3) & (F.col("event_id") < 2 * hi // 3))
-        .coalesce(1).write.mode("append").parquet(src)
-    )
-    (
-        ev.filter(F.col("event_id") >= 2 * hi // 3)
-        .coalesce(1).write.mode("append").parquet(src)
-    )
-    sentinel = (
-        ev.orderBy(F.desc("ts")).limit(1)
-        .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
-        .withColumn("event_id", (F.lit(hi) + 1).cast(ev.schema["event_id"].dataType))
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    ev, stream = _timed_batch_stream(spark, sf_dir, "sess")
     name = "stream_sessionize_mem"
+    gap = "30 minutes"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
@@ -1344,6 +1361,73 @@ wm AS (SELECT max(ts) - INTERVAL '1 second' AS w FROM events)
 SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value
 FROM sess s, wm WHERE s.session_end <= wm.w"""
 )
+
+
+def q_stream_rollup_1h(spark, sf_dir):
+    """The north-rule CONTINUOUS AGGREGATE as a stream: the 1-hour
+    retention tier maintained by a watermarked tumbling-window aggregation
+    in append mode (the streaming twin of ``rollup_1h``, the engine's
+    replacement for the reference's Flink windowed pipeline,
+    /root/reference/core/streaming_pipeline.py:289-345).  Windows spanning
+    micro-batch boundaries fold in windowed state; each window emits
+    exactly once when the watermark passes its end, so state is bounded by
+    (active windows within the delay) and the emitted table IS the tier —
+    appendable to the warehouse with no MERGE needed.  Same time-ordered
+    replay + sentinel flush as ``stream_sessionize``; the oracle is the
+    batch hourly aggregate restricted to the finalized windows
+    (window_end <= max(ts) − delay)."""
+    ev, stream = _timed_batch_stream(spark, sf_dir, "roll1h")
+    name = "stream_rollup_1h_mem"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    spark.catalog.dropTempView(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.withWatermark("ts", "1 second")
+            .groupBy(F.col("event_type"), F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "event_type",
+                F.col("window.start").alias("window_start"),
+                "n",
+                "sum_value",
+                _avg6("sum_value", "n").alias("avg_value"),
+                "min_value",
+                "max_value",
+            )
+            .filter(F.col("event_type") != "__sentinel__")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_rollup_1h did not finish within 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+SQL_STREAM_ROLLUP_1H = """
+WITH wm AS (SELECT max(ts) - INTERVAL '1 second' AS w FROM events)
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(sum(value), 6) AS sum_value,
+       round(round(sum(value) * 100) / count(*) / 100.0, 6) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events, wm
+GROUP BY event_type, date_trunc('hour', ts), wm.w
+HAVING date_trunc('hour', ts) + INTERVAL '1 hour' <= wm.w
+"""
 
 
 def q_compaction_roundtrip(spark, sf_dir):
@@ -3030,6 +3114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     # -- streaming state
     "stateful_tier": q_stateful_tier,
+    "stream_rollup_1h": q_stream_rollup_1h,
     "stateful_last_n": q_stateful_last_n,
     "last_n_buffer": q_last_n_buffer,
     "stream_static_enrich": q_stream_static_enrich,
@@ -3126,6 +3211,7 @@ ORACLES: dict[str, str] = {
     "stream_static_enrich": SQL_STREAM_STATIC,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_sessionize": SQL_STREAM_SESSIONIZE,
+    "stream_rollup_1h": SQL_STREAM_ROLLUP_1H,
     "compaction_roundtrip": SQL_COMPACTION,
     "noise_augment": _sql_noise_augment(),
     "mixup_augment": _sql_mixup_augment(),
