@@ -551,11 +551,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes is only read once, by the final labels join — derive it lazily
+    # from the CHECKPOINTED initial edge set (an eager materialization here
+    # would spend a whole job on data the fixed-point loop never touches)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sig = _edge_signature(edges)
     for _ in range(max_iter):
@@ -572,6 +574,12 @@ def connected_components_star(
             .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            # the small-star below reads ls TWICE (mins2 aggregate + the
+            # join back) and Catalyst does not share the subplan across a
+            # self-join's sides — materialize once or every round computes
+            # the large-star twice (the same recompute hazard as the LSH
+            # banded self-join; at 10^12-edge scale ls is a full shuffle)
+            .localCheckpoint(eager=True)
         )
         # small-star on edges oriented toward the larger endpoint
         mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
