@@ -2693,11 +2693,19 @@ def q_error_bench_sql(spark, sf_dir):
       arithmetic — bit-identical across engines, so the |cD| ranking
       (stable ties by position) and the signal-domain index mapping
       (np.round is banker's rounding = DuckDB ``round_even``) reproduce
-      the kernel's kept set exactly.
+      the kernel's kept set exactly;
+    * lttb: the sequential bucket walk as a RECURSIVE CTE carrying the
+      previously-selected point; bucket bounds replicate
+      ``linspace(...).astype(int64)`` (floor of the same double ops), the
+      next-bucket centroid is sum/count (bit-equal to numpy's mean at
+      these bucket sizes — sequential-summation regime), and the triangle
+      area uses the kernel's exact expression with (area DESC, rn0 ASC)
+      mirroring ``argmax``'s first-maximum; selection verified index-set-
+      identical to the kernel on every (key, day) group at sf0.01 and
+      sf0.1.
 
-    LTTB/PIP and db4-thresholding stay invariant-oracled (float-tie risk,
-    see ``lttb_select``) and run in the rows-only
-    ``downsample_error_bench``."""
+    PIP and db4-thresholding stay invariant-oracled and run in the
+    rows-only ``downsample_error_bench``."""
     ev = _t(spark, sf_dir, "events")
     metrics = downsample_metrics_multi(
         ev,
@@ -2708,6 +2716,7 @@ def q_error_bench_sql(spark, sf_dir):
             "minmax",
             "random_hash",
             "wavelet_threshold",
+            "lttb",
         ],
         20,
         window="1 day",
@@ -2734,7 +2743,7 @@ def q_error_bench_sql(spark, sf_dir):
 
 
 SQL_ERROR_BENCH = """
-WITH base AS (
+WITH RECURSIVE base AS (
   SELECT event_type AS key, date_trunc('day', ts) AS window_start,
          CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
               THEN 0.0 ELSE value END AS v,
@@ -2970,10 +2979,103 @@ wt_m AS (
          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
          round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
          round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM wt_rec GROUP BY 1, 2)
+  FROM wt_rec GROUP BY 1, 2),
+-- LTTB: the sequential bucket walk as a recursive CTE.  Bucket bounds =
+-- floor(j*(n-2)/18 + 1) (the kernel's linspace(...).astype(int64) ops),
+-- last bound pinned to n-1; next-bucket centroid = sum/count (bit-equal
+-- to numpy's mean in the sequential-summation regime); triangle area is
+-- the kernel's exact expression; (area DESC, rn0 ASC) == argmax first-max
+lt_bnd AS (
+  SELECT key, window_start, n, j,
+         CASE WHEN j = 18 THEN n - 1
+              ELSE CAST(floor(j * ((n - 2) / 18.0) + 1.0) AS BIGINT) END AS b
+  FROM (SELECT key, window_start, max(n) AS n FROM base GROUP BY 1, 2) g,
+       unnest(generate_series(0, 18)) AS t(j)
+  WHERE n > 20),
+lt_seg AS (
+  SELECT l.key, l.window_start, l.n, l.j AS i, l.b AS lo, h.b AS hi
+  FROM lt_bnd l JOIN lt_bnd h USING (key, window_start)
+  WHERE h.j = l.j + 1),
+lt_cm AS (
+  SELECT s.key, s.window_start, s.i,
+         coalesce(nb.cx, CAST(s.n - 1 AS DOUBLE)) AS cx,
+         coalesce(nb.cy, lp.lv) AS cy
+  FROM lt_seg s
+  LEFT JOIN (
+    SELECT s2.key, s2.window_start, s2.i - 1 AS i,
+           sum(CAST(b.rn0 AS DOUBLE)) / count(*) AS cx,
+           sum(b.v) / count(*) AS cy
+    FROM lt_seg s2 JOIN base b
+      ON b.key = s2.key AND b.window_start = s2.window_start
+     AND b.rn0 >= s2.lo AND b.rn0 < s2.hi
+    GROUP BY 1, 2, 3) nb
+    ON nb.key = s.key AND nb.window_start = s.window_start AND nb.i = s.i
+  LEFT JOIN (SELECT key, window_start, arg_max(v, rn0) AS lv
+             FROM base GROUP BY 1, 2) lp
+    ON lp.key = s.key AND lp.window_start = s.window_start),
+lt_walk AS (
+  SELECT key, window_start, CAST(-1 AS BIGINT) AS i,
+         CAST(0 AS BIGINT) AS a_idx, arg_min(v, rn0) AS a_val
+  FROM base GROUP BY key, window_start
+  UNION ALL
+  SELECT q.key, q.window_start, q.i, q.rn0, q.v
+  FROM (
+    SELECT s.key, s.window_start, g.i, b.rn0, b.v,
+           row_number() OVER (
+             PARTITION BY s.key, s.window_start
+             ORDER BY abs((CAST(s.a_idx AS DOUBLE) - c.cx) * (b.v - s.a_val)
+                          - (CAST(s.a_idx AS DOUBLE) - CAST(b.rn0 AS DOUBLE))
+                            * (c.cy - s.a_val)) DESC,
+                      b.rn0 ASC) AS r
+    FROM lt_walk s
+    JOIN lt_seg g ON g.key = s.key AND g.window_start = s.window_start
+                 AND g.i = s.i + 1
+    JOIN lt_cm c ON c.key = g.key AND c.window_start = g.window_start
+                AND c.i = g.i
+    JOIN base b ON b.key = g.key AND b.window_start = g.window_start
+               AND b.rn0 >= g.lo AND b.rn0 < g.hi
+    WHERE s.i < 17) q
+  WHERE q.r = 1),
+lt_sel AS (
+  SELECT key, window_start, a_idx AS rn0 FROM lt_walk
+  WHERE i >= 0 OR a_idx = 0),
+lt_k AS (
+  SELECT b.key, b.window_start, b.n, b.v, b.rn0,
+         (b.n <= 20 OR b.rn0 = 0 OR b.rn0 = b.n - 1
+          OR s.rn0 IS NOT NULL) AS kept
+  FROM base b LEFT JOIN lt_sel s USING (key, window_start, rn0)),
+lt_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM lt_k),
+lt_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM lt_f),
+lt_m AS (
+  SELECT key, window_start, 'lttb' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM lt_rec GROUP BY 1, 2)
 SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
 UNION ALL SELECT * FROM mm_m UNION ALL SELECT * FROM rh_m
-UNION ALL SELECT * FROM wt_m
+UNION ALL SELECT * FROM wt_m UNION ALL SELECT * FROM lt_m
 """
 
 
