@@ -38,6 +38,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 UNPARTITIONED = "*"
 
 
+def _anti_join_null_safe(old: DataFrame, batch_keys: DataFrame, on: list[str]) -> DataFrame:
+    """``left_anti`` on ``on`` with NULL-SAFE equality (``<=>``).
+
+    A plain column-list anti-join uses SQL equality, under which NULL never
+    matches NULL — so a current row whose merge key (or partition value) is
+    NULL would survive every MERGE and the replayed batch row would commit a
+    duplicate, breaking the idempotent exactly-once contract.  Null-safe
+    equality treats NULL as a value (Spark's ``dropDuplicates`` convention),
+    which is the semantics replay-idempotence needs (round-4 ADVICE class:
+    partition-representation misses skipping the anti-join)."""
+    b = batch_keys
+    for c in on:
+        b = b.withColumnRenamed(c, f"__mk_{c}")
+    cond = None
+    for c in on:
+        e = old[c].eqNullSafe(b[f"__mk_{c}"])
+        cond = e if cond is None else cond & e
+    return old.join(b, cond, "left_anti")
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -234,7 +254,7 @@ class Warehouse:
             # unpartitioned (or one-time migration of a table created
             # unpartitioned): full merge rewrite
             old = self.read(table)
-            remaining = old.join(df.select(*keys).distinct(), keys, "left_anti")
+            remaining = _anti_join_null_safe(old, df.select(*keys).distinct(), keys)
             return self.overwrite(
                 table,
                 remaining.unionByName(df, allowMissingColumns=True),
@@ -255,10 +275,14 @@ class Warehouse:
         # partition directory names — because Python's str() disagrees with
         # it for booleans ('True' vs 'true') and sci-notation floats, and a
         # representation miss here would skip the anti-join and commit
-        # duplicate keys (round-3 ADVICE finding).
+        # duplicate keys (round-3 ADVICE finding).  NULL *and* the empty
+        # string both land in __HIVE_DEFAULT_PARTITION__ (manifest key
+        # 'None'), so both map to it here — '' kept as-is would miss the
+        # manifest key, skip the anti-join for that partition, and commit
+        # duplicate keys (round-4 ADVICE finding, same failure class).
         df = df.persist()
         touched = {
-            "None" if r[0] is None else r[0]
+            "None" if r[0] is None or r[0] == "" else r[0]
             for r in df.select(
                 F.col(partition_by).cast("string")
             ).distinct().collect()
@@ -273,7 +297,7 @@ class Warehouse:
         if old_dirs:
             on = list(dict.fromkeys([*keys, partition_by]))
             old = self.spark.read.option("mergeSchema", "true").parquet(*old_dirs)
-            keep = old.join(df.select(*on).distinct(), on, "left_anti")
+            keep = _anti_join_null_safe(old, df.select(*on).distinct(), on)
             # allowMissingColumns: a batch carrying a NEW column (or missing
             # a legacy one) merges cleanly — the Iceberg add-column path
             merged = keep.unionByName(df, allowMissingColumns=True)
