@@ -44,25 +44,34 @@ def random_indices(n: int, target: int, seed: int = 42) -> np.ndarray:
 def hash_random_indices(
     n: int, target: int, group_key: str = "", seed: int = 42
 ) -> np.ndarray:
-    """Portable seeded random selection: rank positions by
-    ``md5('rs:{seed}:{key}:{i}')`` and keep the ``min(target, n)`` smallest
-    digests, returned sorted by position.  Same selection semantics as the
-    reference's seeded ``np.random.choice`` sampler
-    (/root/reference/new_evaluation.py:96-101) but the RNG is a content
-    hash instead of PCG64, so an external SQL engine reproduces the
-    identical index set (numpy bit-streams are not portable across
-    engines — the documented mixup-lambda precedent).  Uniform over
-    positions; md5 makes rank ties impossible."""
+    """Portable seeded random selection, fully vectorized: rank positions by
+    a per-(seed, key) md5-seeded affine permutation of the 32-bit domain —
+    ``rank(i) = (a·i + b) mod 2³²`` with odd ``a`` (a bijection, so ranks
+    are distinct and ties impossible) — and keep the ``min(target, n)``
+    smallest ranks, returned sorted by position.  Same selection semantics
+    as the reference's seeded ``np.random.choice`` sampler
+    (/root/reference/new_evaluation.py:96-101), but the RNG is ONE md5 per
+    group plus pure array math instead of PCG64 state, so (a) an external
+    SQL engine reproduces the identical index set from the same two
+    constants, and (b) there is no per-point Python in the kernel — the
+    old md5-per-position list comprehension was the engine's only
+    interpreter-level per-point loop (round-4 ADVICE).  Same affine family
+    already proven portable for MinHash (``operators/dedup.affine_constants``);
+    ``a < 2³¹`` keeps ``a·i`` under 2⁶³ for any 32-bit position."""
     import hashlib
 
     k = min(target, n)
     if k <= 0:
         return np.array([], dtype=np.int64)
-    pre = f"rs:{seed}:{group_key}:".encode()
-    digs = np.array(
-        [hashlib.md5(pre + str(i).encode()).hexdigest() for i in range(n)]
-    )
-    return np.sort(np.argsort(digs, kind="stable")[:k].astype(np.int64))
+    if k >= n:
+        return np.arange(n, dtype=np.int64)
+    h = hashlib.md5(f"rs:{seed}:{group_key}".encode()).hexdigest()
+    a = (int(h[:8], 16) & 0x7FFFFFFF) | 1
+    b = int(h[8:16], 16)
+    ranks = (a * np.arange(n, dtype=np.int64) + b) & 0xFFFFFFFF
+    # ranks are distinct -> the k-smallest SET is unique; argpartition is
+    # O(n) vs argsort's O(n log n)
+    return np.sort(np.argpartition(ranks, k - 1)[:k].astype(np.int64))
 
 
 def avg_pool(x: np.ndarray, target: int) -> np.ndarray:
@@ -133,7 +142,15 @@ def lttb_indices(x: np.ndarray, target: int) -> np.ndarray:
 
 def pip_indices(x: np.ndarray, target: int) -> np.ndarray:
     """Perceptually Important Points: iterative max-perpendicular-distance
-    insertion (/root/reference/new_evaluation.py:154-183)."""
+    insertion (/root/reference/new_evaluation.py:154-183).
+
+    The chord norm is ``sqrt(dy² + dx²)`` — the reference's own expression
+    (``np.sqrt((y2-y1)**2 + (x2-x1)**2)``, :183) rather than ``np.hypot``:
+    IEEE-exact products/sum plus a correctly-rounded sqrt, so an external
+    SQL engine evaluating the same ops reproduces every distance (and hence
+    the argmax walk) bit-identically — the ``pip`` leg of the error-bench
+    value oracle depends on this.  Tie-break matches the reference's strict
+    ``>`` scan: first maximum in ascending position order."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     if target >= n:
@@ -150,8 +167,8 @@ def pip_indices(x: np.ndarray, target: int) -> np.ndarray:
             seg_x = x[s + 1 : e]
             # perpendicular distance to chord (s -> e), vectorized per segment
             dx, dy = t[e] - t[s], x[e] - x[s]
-            norm = np.hypot(dx, dy)
-            d = np.abs(dy * seg_t - dx * seg_x + t[e] * x[s] - x[e] * t[s]) / max(norm, 1e-12)
+            norm = np.sqrt(dy * dy + dx * dx)
+            d = np.abs(dy * seg_t - dx * seg_x + t[e] * x[s] - x[e] * t[s]) / norm
             j = int(d.argmax())
             if d[j] > best_d:
                 best_d, best_i = float(d[j]), s + 1 + j
