@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ._spread import spread
 
@@ -558,11 +558,13 @@ def connected_components_star(
     * small-star(u): on edges oriented toward the larger endpoint, every
       smaller neighbor (and u itself) re-attaches to the minimum one.
 
-    Each half-round is one groupBy(min) + one join on the same key, with
-    eager localCheckpoint truncating the plan (see
-    :func:`connected_components`).  Fixed point detected by an
-    order-insensitive (count, hash-sum) signature.  At the fixed point the
-    edges form stars centered on each component's minimum id.
+    Each half-round is one window-min pass over the (symmetric) edge set —
+    no groupBy+join pair, so nothing is read twice and only the
+    alternation's final edge set is materialized (eager localCheckpoint,
+    which also truncates the plan — see :func:`connected_components`).
+    Fixed point detected by an order-insensitive (count, hash-xor)
+    signature scanned from the checkpointed blocks.  At the fixed point
+    the edges form stars centered on each component's minimum id.
 
     Output: (node, component) for every node appearing in ``pairs`` —
     identical semantics to :func:`connected_components`.
@@ -583,33 +585,48 @@ def connected_components_star(
         .distinct()
     )
     sig = _edge_signature(edges)
+    win = Window.partitionBy("u")
     for _ in range(max_iter):
-        # large-star over the symmetric adjacency
+        # Each alternation is ONE materialized dataset + one O(1) signature
+        # scan of its in-memory blocks (round-4 verdict #3: the previous
+        # shape checkpointed the large-star too, because groupBy-min + join
+        # read it twice and Catalyst shares no subplan across a self-join's
+        # sides).  A window min over partitionBy(u) delivers each row its
+        # group minimum in ONE pass, so neither star output is read twice
+        # and only the alternation result needs materializing.
+        #
+        # large-star over the symmetric adjacency: every neighbor v > u
+        # re-attaches to m = min(Γ(u) ∪ {u}).  Duplicate edges are NOT
+        # dropped here — the small-star min is duplicate-insensitive and
+        # the final distinct collapses them; an intermediate distinct would
+        # cost a whole extra shuffle per alternation.
         adj = edges.select("u", "v").unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
         ls = (
-            adj.join(mins, "u")
+            adj.withColumn("m", F.least(F.min("v").over(win), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            # the small-star below reads ls TWICE (mins2 aggregate + the
-            # join back) and Catalyst does not share the subplan across a
-            # self-join's sides — materialize once or every round computes
-            # the large-star twice (the same recompute hazard as the LSH
-            # banded self-join; at 10^12-edge scale ls is a full shuffle)
-            .localCheckpoint(eager=True)
         )
-        # small-star on edges oriented toward the larger endpoint
-        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star on the (larger, smaller)-oriented edges: every smaller
+        # neighbor and u itself re-attach to the minimum neighbor.  The
+        # explode emits both edge kinds — (v, m) per neighbor and (u, m)
+        # once per row, deduped below — from a single scan of ls.
         ss = (
-            ls.join(mins2, "u")
-            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
-            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            ls.withColumn("m", F.min("v").over(win))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.greatest("v", "m").alias("u"),
+                            F.least("v", "m").alias("v"),
+                        ),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
