@@ -13,10 +13,12 @@ Two workloads:
    DWT/attention downsample + Gorilla chunks);
 2. the query catalog on the driver's sf-dir tables (per-query seconds).
 
-Reporting: 5 interleaved passes in one warm session; published per-query
-numbers are MEDIANS (a real single measurement), "value" is the median of
-the five real pass totals, and per-query minima appear only in the
-secondary "queries_min"/"total_min" noise-floor columns.
+Reporting: 5 passes in one warm session, each pass = one pipeline run +
+one full catalog sweep back-to-back (every pass total is a composite of
+contemporaneous measurements); published per-query numbers are MEDIANS (a
+real single measurement), "value" is the median of the five real pass
+totals, and per-query minima appear only in the secondary
+"queries_min"/"total_min" noise-floor columns.
 """
 
 from __future__ import annotations
@@ -165,12 +167,7 @@ def main() -> None:
     # run achieved).  Per-query minima are kept as a secondary noise-floor
     # column only.
     passes = 5
-    # 1. transcript pipeline throughput (transcript SF scaled off the dir SF)
-    tr_sf = max(sf * 200, 1.0)  # sf0.1 -> ~200k turns
-    pipe_runs = []
-    for _ in range(passes):
-        n_turns, elapsed = transcript_pipeline(spark, tr_sf)
-        pipe_runs.append(elapsed)
+    tr_sf = max(sf * 200, 1.0)  # transcript SF scaled off the dir SF
 
     # untimed catalog warm-up pass (same steady-state rationale as above)
     for name in HEADLINE:
@@ -178,11 +175,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # 2. catalog queries on the sf-dir tables, interleaved with pass totals
+    # Each pass runs the transcript pipeline AND the whole catalog
+    # back-to-back, so every published pass total is a composite of
+    # CONTEMPORANEOUS measurements (round-4 ADVICE: the old loop ran the
+    # five pipeline passes first and paired pipeline run p with catalog
+    # pass p measured minutes later).
     per_query: dict[str, list[float]] = {}
+    pipe_runs: list[float] = []
     pass_totals: list[float] = []
     for p in range(passes):
-        pass_total = pipe_runs[p]
+        n_turns, elapsed = transcript_pipeline(spark, tr_sf)
+        pipe_runs.append(elapsed)
+        pass_total = elapsed
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()

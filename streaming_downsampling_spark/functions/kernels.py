@@ -222,6 +222,7 @@ def model_downsample(
     retention: float = 0.8,
     seed: int = 42,
     max_seg: int = 200,
+    weights=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The reference *model* pipeline on one series, deterministic numpy:
 
@@ -249,7 +250,7 @@ def model_downsample(
     n = len(x)
     if n <= max_seg:
         return _model_downsample_seg(
-            x, wavelet, approx_ds_factor, retention, seed
+            x, wavelet, approx_ds_factor, retention, seed, weights
         )
     pooled_all, sel_all, idx_all = [], [], []
     cd_offset = 0
@@ -258,7 +259,7 @@ def model_downsample(
         if len(seg) < 2:
             break
         pooled, sel, idx = _model_downsample_seg(
-            seg, wavelet, approx_ds_factor, retention, seed
+            seg, wavelet, approx_ds_factor, retention, seed, weights
         )
         pooled_all.append(pooled)
         sel_all.append(sel)
@@ -277,13 +278,14 @@ def _model_downsample_seg(
     approx_ds_factor: int,
     retention: float,
     seed: int,
+    weights=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     cA, cD = wv.dwt(x, wavelet)
     f = approx_ds_factor
     m = (len(cA) - f) // f + 1
     pooled = cA[: m * f].reshape(m, f).mean(axis=1)
     k = max(1, int(round(len(cD) * retention)))
-    scores = attention_importance(cD, seed=seed)
+    scores = attention_importance(cD, seed=seed, weights=weights)
     order = np.argsort(-scores, kind="stable")[:k]
     idx = np.sort(order)
     return pooled, cD[idx], idx
@@ -295,6 +297,7 @@ def model_downsample_batch(
     approx_ds_factor: int = 2,
     retention: float = 0.8,
     seed: int = 42,
+    weights=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched :func:`_model_downsample_seg` over same-length series.
 
@@ -312,7 +315,7 @@ def model_downsample_batch(
     m = (cA.shape[1] - f) // f + 1
     pooled = cA[:, : m * f].reshape(X.shape[0], m, f).mean(axis=2)
     k = max(1, int(round(cD.shape[1] * retention)))
-    scores = attention_importance_batch(cD, seed=seed)
+    scores = attention_importance_batch(cD, seed=seed, weights=weights)
     order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     idx = np.sort(order, axis=1)
     sel = np.take_along_axis(cD, idx, axis=1)
@@ -322,10 +325,59 @@ def model_downsample_batch(
 _ATTN_WEIGHTS: dict[tuple, tuple] = {}
 
 
-def _attention_weights(embed_dim: int, num_heads: int, seed: int):
+def attention_weights_blob(
+    embed_dim: int = 16, num_heads: int = 4, seed: int = 42
+) -> dict[str, np.ndarray]:
+    """Export the scorer's weights as an npz-style dict — the TRAINED-WEIGHT
+    seam: a user with a real trained artifact (the reference ships ``.keras``
+    files, /root/reference/main.py:161-182) converts its Q/K projections to
+    this layout (``w_in`` (1,d), ``wq_i``/``wk_i`` (d, d/h)) and passes the
+    dict as ``weights=`` to the scorer / model kernels; everything else in
+    the pipeline is weight-agnostic.  Round-trips through ``np.savez``."""
+    w_in, heads = _attention_weights(embed_dim, num_heads, seed)
+    blob: dict[str, np.ndarray] = {"w_in": w_in}
+    for i, (wq, wk) in enumerate(heads):
+        blob[f"wq_{i}"] = wq
+        blob[f"wk_{i}"] = wk
+    return blob
+
+
+def _blob_fingerprint(blob) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for k in sorted(blob):
+        h.update(str(k).encode())
+        h.update(np.ascontiguousarray(np.asarray(blob[k])).tobytes())
+    return h.hexdigest()
+
+
+def _attention_weights(
+    embed_dim: int, num_heads: int, seed: int, blob=None
+):
     """Frozen attention weights, drawn once per (dim, heads, seed) — the
     per-executor lazy singleton analog of the reference's ``_get_model()``
-    memoization (/root/reference/core/streaming_pipeline.py:229-257)."""
+    memoization (/root/reference/core/streaming_pipeline.py:229-257).
+
+    ``blob`` (an npz-style mapping, see :func:`attention_weights_blob`)
+    overrides the seeded draw with externally-trained weights; it is
+    memoized per content fingerprint so each executor process parses it
+    once no matter how many groups its kernels score."""
+    if blob is not None:
+        key = ("blob", _blob_fingerprint(blob), embed_dim, num_heads)
+        if key not in _ATTN_WEIGHTS:
+            w_in = np.asarray(blob["w_in"], dtype=np.float64)
+            if w_in.shape != (1, embed_dim):
+                raise ValueError(
+                    f"w_in shape {w_in.shape} != (1, {embed_dim})"
+                )
+            heads = []
+            for i in range(num_heads):
+                wq = np.asarray(blob[f"wq_{i}"], dtype=np.float64)
+                wk = np.asarray(blob[f"wk_{i}"], dtype=np.float64)
+                heads.append((wq, wk))
+            _ATTN_WEIGHTS[key] = (w_in, heads)
+        return _ATTN_WEIGHTS[key]
     key = (embed_dim, num_heads, seed)
     if key not in _ATTN_WEIGHTS:
         rng = np.random.default_rng(seed)
@@ -343,7 +395,11 @@ def _attention_weights(embed_dim: int, num_heads: int, seed: int):
 
 
 def attention_importance(
-    c: np.ndarray, embed_dim: int = 16, num_heads: int = 4, seed: int = 42
+    c: np.ndarray,
+    embed_dim: int = 16,
+    num_heads: int = 4,
+    seed: int = 42,
+    weights=None,
 ) -> np.ndarray:
     """Frozen-weight attention importance scorer.
 
@@ -365,7 +421,7 @@ def attention_importance(
     pe = np.zeros((n, d))
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
-    w_in, heads = _attention_weights(d, num_heads, seed)
+    w_in, heads = _attention_weights(d, num_heads, seed, blob=weights)
     h = c[:, None] @ w_in + pe
     global_mass = np.zeros(n)
     dh = d // num_heads
@@ -386,7 +442,11 @@ def attention_importance(
 
 
 def attention_importance_batch(
-    C: np.ndarray, embed_dim: int = 16, num_heads: int = 4, seed: int = 42
+    C: np.ndarray,
+    embed_dim: int = 16,
+    num_heads: int = 4,
+    seed: int = 42,
+    weights=None,
 ) -> np.ndarray:
     """Batched :func:`attention_importance` over ``(G, n)`` same-length rows.
 
@@ -403,7 +463,7 @@ def attention_importance_batch(
     pe = np.zeros((n, d))
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
-    w_in, heads = _attention_weights(d, num_heads, seed)
+    w_in, heads = _attention_weights(d, num_heads, seed, blob=weights)
     h = C[:, :, None] @ w_in + pe  # (G, n, d)
     global_mass = np.zeros((G, n))
     dh = d // num_heads

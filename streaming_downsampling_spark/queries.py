@@ -3251,6 +3251,288 @@ FROM cm GROUP BY media_id, kind, L
 
 
 # ---------------------------------------------------------------------------
+# digest suites: external-gate coverage for the registry tail
+# ---------------------------------------------------------------------------
+# The external driver hash-checks the first 50 registry entries only, so the
+# text/embedding/dedup tail would otherwise be visible only to the local
+# gate.  Each suite below runs its member queries VERBATIM (the very same
+# catalog callables) and reduces every result to one row
+# (query_name, row_count, digest) where digest is an order-insensitive
+# bit_xor of a 60-bit md5 over portably-normalized row strings; the DuckDB
+# oracle computes the same digests over the members' own oracle SQL.  A
+# driver-green suite row therefore value-checks the member end-to-end
+# (round-4 verdict #1: consolidation — the members stay registered and
+# individually oracled for the local gate; nothing is curated out).
+#
+# Normalization (identical on both engines, verified bit-for-bit):
+# columns sorted by name; doubles via '%.6f' with a +1e-9 dither (Java
+# Formatter rounds half-up on the exact decimal expansion while glibc
+# printf rounds half-even — dyadic values like 1/128 terminate exactly on
+# a .5 boundary and would diverge; the dither moves every such value off
+# the boundary identically in both engines); everything else via plain
+# cast-to-string; NULL -> a marker; fields joined with '|'.
+
+_SUITE_MEMBERS: dict[str, list[str]] = {
+    "relational_suite": [
+        "brand_revenue", "customers_per_region", "supplier_volume",
+    ],
+    "dedup_suite": ["dedup_components", "dedup_components_star", "dedup_exact"],
+    "neardup_suite": [
+        "minhash_lsh", "ngram_jaccard", "simhash_nn", "simhash_rotate",
+    ],
+    "text_suite": ["fingerprint", "lang_guess", "text_quality", "token_count"],
+    "ann_suite": ["cosine_topk", "embedding_near_dup", "ivf_ann", "lsh_ann"],
+    "media_suite": [
+        "frame_sample", "mixup_augment", "multimodal_features", "noise_augment",
+    ],
+}
+
+# Member output schemas, pinned for the static DuckDB oracle builder; a
+# pytest (tests/test_round5.py) asserts these equal the live Spark schemas
+# so they cannot drift silently.  Only double-ness matters to the digest.
+_SUITE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "brand_revenue": [
+        ("p_brand", "string"), ("revenue", "double"),
+        ("sum_qty", "double"), ("n_lines", "bigint"),
+    ],
+    "customers_per_region": [
+        ("r_name", "string"), ("n_customers", "bigint"),
+        ("avg_acctbal", "double"),
+    ],
+    "supplier_volume": [
+        ("n_name", "string"), ("revenue", "double"), ("n_lines", "bigint"),
+    ],
+    "dedup_exact": [("doc_id", "bigint"), ("n_copies", "bigint")],
+    "dedup_components": [("doc_id", "bigint"), ("component_id", "bigint")],
+    "dedup_components_star": [("doc_id", "bigint"), ("component_id", "bigint")],
+    "minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint")],
+    "simhash_nn": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
+    "simhash_rotate": [
+        ("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int"),
+    ],
+    "ngram_jaccard": [
+        ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+    ],
+    "fingerprint": [("doc_id", "bigint"), ("fp_md5", "string")],
+    "token_count": [
+        ("doc_id", "bigint"), ("n_tokens", "bigint"),
+        ("n_subwords", "bigint"), ("n_chars", "bigint"),
+    ],
+    "text_quality": [
+        ("doc_id", "bigint"), ("n_words", "bigint"),
+        ("mean_word_len", "double"), ("alpha_ratio", "double"),
+        ("punct_ratio", "double"), ("stop_ratio", "double"),
+        ("quality", "double"),
+    ],
+    "lang_guess": [
+        ("doc_id", "bigint"), ("lang_guess", "string"), ("hits", "bigint"),
+    ],
+    "cosine_topk": [
+        ("query_id", "bigint"), ("neighbor_id", "bigint"),
+        ("rank", "bigint"), ("cos", "double"),
+    ],
+    "embedding_near_dup": [
+        ("id_a", "bigint"), ("id_b", "bigint"), ("cos", "double"),
+    ],
+    "lsh_ann": [
+        ("query_id", "bigint"), ("neighbor_id", "bigint"),
+        ("rank", "bigint"), ("cos", "double"),
+    ],
+    "ivf_ann": [
+        ("query_id", "bigint"), ("neighbor_id", "bigint"),
+        ("rank", "bigint"), ("cos", "double"),
+    ],
+    "noise_augment": [
+        ("event_id", "bigint"), ("value", "double"), ("noisy", "double"),
+    ],
+    "mixup_augment": [
+        ("event_id", "bigint"), ("event_type", "string"), ("mixed", "double"),
+    ],
+    "frame_sample": [("media_id", "bigint"), ("frame_ms", "int")],
+    "multimodal_features": [
+        ("media_id", "bigint"), ("kind", "string"),
+        ("n_bytes", "bigint"), ("feat_sum", "double"),
+    ],
+}
+
+_DIGEST_NULL = "\\N"
+
+
+def _digest_df(df: DataFrame, name: str) -> DataFrame:
+    """One (query_name, row_count, digest) row for a member's result."""
+    parts = []
+    for fld in sorted(df.schema.fields, key=lambda f: f.name):
+        c = F.col(fld.name)
+        if fld.dataType.simpleString() == "double":
+            s = F.format_string("%.6f", c + F.lit(1e-9))
+        else:
+            s = c.cast("string")
+        parts.append(F.coalesce(s, F.lit(_DIGEST_NULL)))
+    rowstr = F.concat_ws("|", *parts)
+    h = F.conv(F.substring(F.md5(rowstr), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(h.alias("h"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0).cast("long")).alias(
+                "digest"
+            ),
+        )
+        .select(F.lit(name).alias("query_name"), "row_count", "digest")
+    )
+
+
+def _suite_query(suite: str):
+    members = _SUITE_MEMBERS[suite]
+
+    def fn(spark, sf_dir):
+        out = None
+        for m in members:
+            d = _digest_df(QUERIES[m](spark, sf_dir), m)
+            out = d if out is None else out.unionByName(d)
+        return out.orderBy("query_name")
+
+    fn.__name__ = f"q_{suite}"
+    fn.__doc__ = (
+        f"Digest gate for {', '.join(members)}: runs the member catalog "
+        "queries verbatim and reduces each to (query_name, row_count, "
+        "order-insensitive md5-xor digest); the oracle computes identical "
+        "digests over the members' own DuckDB oracle SQL."
+    )
+    return fn
+
+
+def _sql_digest(name: str, oracle_sql: str) -> str:
+    parts = []
+    for col, typ in sorted(_SUITE_SCHEMAS[name]):
+        if typ == "double":
+            s = f"printf('%.6f', {col} + 1e-9)"
+        else:
+            s = f"CAST({col} AS VARCHAR)"
+        parts.append(f"coalesce({s}, '{_DIGEST_NULL}')")
+    rowstr = "concat_ws('|', " + ", ".join(parts) + ")"
+    return (
+        f"SELECT '{name}' AS query_name,\n"
+        f"       CAST(count(*) AS BIGINT) AS row_count,\n"
+        f"       CAST(coalesce(bit_xor(CAST('0x' || substr(md5({rowstr}), 1, 15)"
+        f" AS BIGINT)), 0) AS BIGINT) AS digest\n"
+        f"FROM (\n{oracle_sql}\n) __m"
+    )
+
+
+def _sql_suite(suite: str) -> str:
+    legs = "\nUNION ALL\n".join(
+        f"({_sql_digest(m, ORACLES[m])})" for m in _SUITE_MEMBERS[suite]
+    )
+    return f"SELECT * FROM (\n{legs}\n) ORDER BY query_name"
+
+
+q_relational_suite = _suite_query("relational_suite")
+q_dedup_suite = _suite_query("dedup_suite")
+q_neardup_suite = _suite_query("neardup_suite")
+q_text_suite = _suite_query("text_suite")
+q_ann_suite = _suite_query("ann_suite")
+q_media_suite = _suite_query("media_suite")
+
+
+def q_stream_tier_cascade(spark, sf_dir):
+    """End-to-end MAINTAINED-tier proof (round-4 verdict #6): the 1h
+    continuous aggregate is maintained by a real watermarked append-mode
+    stream whose finalized windows MERGE into the warehouse per micro-batch
+    (idempotent, partition-scoped); ``refresh_tier_cascade`` then rolls the
+    maintained 1h table up to the 1d tier with manifest-level partition
+    pruning, and the returned DataFrame is the 1d WAREHOUSE TABLE read
+    back — so the oracle (the batch daily aggregate over events restricted
+    to finalized hours) checks the whole chain:
+    stream → watermark-finalize → MERGE → snapshot → cascade → read.
+    Same time-ordered replay + sentinel watermark flush as
+    ``stream_rollup_1h``."""
+    import hashlib as _hl
+    import shutil
+
+    from .sources.tables import Warehouse
+    from .streaming.jobs import refresh_tier_cascade
+
+    ev, stream = _timed_batch_stream(spark, sf_dir, "cascade")
+    root = f"/tmp/sds_whcas_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_points",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .filter(F.col("key") != "__sentinel__")
+    )
+
+    def sink(batch_df, batch_id):
+        b = batch_df.withColumn(
+            "p_day", F.date_format("window_start", "yyyy-MM-dd")
+        ).persist()
+        if b.count():
+            wh.merge_upsert(
+                "tier_1h", b, keys=["key", "window_start"], partition_by="p_day"
+            )
+        b.unpersist()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_tier_cascade did not finish within 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    refresh_tier_cascade(spark, wh, "tier_1h", "tier_1d", to_tier="1d")
+    return wh.read("tier_1d").select(
+        "key",
+        "window_start",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round("sum_value", 6).alias("sum_value"),
+        _avg6("sum_value", "n_points").alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+SQL_STREAM_TIER_CASCADE = """
+WITH wm AS (SELECT max(ts) - INTERVAL '1 second' AS w FROM events)
+SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+       count(*) AS n_points,
+       round(sum(value), 6) AS sum_value,
+       round(round(sum(value) * 100) / count(*) / 100.0, 6) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= wm.w
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3314,6 +3596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- streaming state
     "stateful_tier": q_stateful_tier,
     "stream_rollup_1h": q_stream_rollup_1h,
+    "stream_tier_cascade": q_stream_tier_cascade,
     "stateful_last_n": q_stateful_last_n,
     "last_n_buffer": q_last_n_buffer,
     "stream_static_enrich": q_stream_static_enrich,
@@ -3323,10 +3606,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- relational (TPC-H shapes)
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
+    # -- digest gates: each runs a whole domain's member queries verbatim
+    # and reduces them to driver-checkable digests, so the registry tail
+    # past the external gate's 50-entry prefix still gets driver-visible
+    # value coverage (round-4 verdict #1)
+    "relational_suite": q_relational_suite,
+    "dedup_suite": q_dedup_suite,
+    "neardup_suite": q_neardup_suite,
+    "text_suite": q_text_suite,
+    "ann_suite": q_ann_suite,
+    "media_suite": q_media_suite,
+    # -- relational (TPC-H shapes), digest-covered by relational_suite
     "customers_per_region": q_customers_per_region,
     "brand_revenue": q_brand_revenue,
     "supplier_volume": q_supplier_volume,
-    # -- deduplication
+    # -- deduplication (digest-covered by dedup_suite / neardup_suite)
     "dedup_exact": q_dedup_exact,
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
@@ -3423,4 +3717,10 @@ ORACLES: dict[str, str] = {
     "rollup_15m": SQL_ROLLUP_15M,
     "ewma_smooth": SQL_EWMA,
     "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "stream_tier_cascade": SQL_STREAM_TIER_CASCADE,
 }
+
+# digest-suite oracles are generated from the members' own oracle SQL (must
+# come after the ORACLES literal so every member entry is registered)
+for _s in _SUITE_MEMBERS:
+    ORACLES[_s] = _sql_suite(_s)

