@@ -22,11 +22,14 @@ order alternating across pairs; the reported efficiency is the median of
 per-pair throughput ratios, which cancels slow host drift.
 
 Usage:  python scripts/scaling_bench.py [N] [sf] [pairs] [reps] [--update-baseline]
+        python scripts/scaling_bench.py [sf] [cpus] --skew
 Defaults: N=2, sf=100 (~2M turns), pairs=5, reps=2 (measured passes per
 level per pair; each level's min over its reps feeds the pair ratio —
 interference is one-sided, so the min is the noise-floor estimator).
 Prints one JSON line; with --update-baseline rewrites the scaling section of
-BENCH.md.
+BENCH.md.  ``--skew`` instead profiles per-TASK wall time of the shared-
+shuffle model+Gorilla job under the documented long-conversation skew and
+asserts p100/p50 <= 4 (straggler-free under the skew knob).
 """
 
 from __future__ import annotations
@@ -122,8 +125,124 @@ def median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
 
 
+def skew_profile(sf: float = 100.0, cpus: int = 8) -> dict:
+    """``--skew`` mode (round-4 verdict #8): per-TASK wall-time distribution
+    of the shared-shuffle model+Gorilla kernel job under the documented
+    long-conversation skew (FIXTURES.md: 1 % of conversations 100× turns —
+    the datagen DEFAULT, so this is the very input the scaling numbers use).
+
+    The engine's skew defenses are (a) grouping on (conv_id, day window) —
+    a 100× conversation widens its GROUP COUNT, not any single group, (b)
+    the kernel's 200-point segmentation bounding per-group O(n²) attention,
+    and (c) hash partitioning spreading one conversation's day groups over
+    tasks.  This mode instruments the exact ``apply_sorted`` kernel loop to
+    emit one (partition, rows, sec) row per task and asserts
+    p100/p50 ≤ 4 — a straggler-free profile under the skew knob.
+    """
+    import time
+
+    import pandas as pd
+
+    sys.path.insert(0, REPO)
+    from pyspark import TaskContext
+
+    from streaming_downsampling_spark.datagen import transcripts_df
+    from streaming_downsampling_spark.operators._groupmap import prepare_sorted
+    from streaming_downsampling_spark.operators.compress import encode_frame_fn
+    from streaming_downsampling_spark.operators.downsample import model_frame_fn
+    from streaming_downsampling_spark.operators.rollup import with_signal
+    from streaming_downsampling_spark.session import get_spark
+
+    spark = get_spark(app_name="skew-profile", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+    df = (
+        with_signal(transcripts_df(spark, sf=sf))
+        .select("conv_id", "turn_idx", "ts", "value")
+        .repartition(2 * cores)
+        .persist()
+    )
+    n_turns = df.count()
+    prepared = prepare_sorted(
+        df, "1 day", "conv_id", "ts", "value", "turn_idx"
+    ).persist()
+    prepared.count()
+    fns = [model_frame_fn(), encode_frame_fn()]
+
+    def profiled():
+        def kernel(batches):
+            t0 = time.perf_counter()
+            rows = 0
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if not len(pdf):
+                    continue
+                lk = pdf["key"].iloc[-1]
+                lw = pdf["window_start"].iloc[-1]
+                tail = (pdf["key"] == lk) & (pdf["window_start"] == lw)
+                carry = pdf[tail]
+                body = pdf[~tail]
+                if len(body):
+                    for fn in fns:
+                        fn(body)
+                    rows += len(body)
+            if carry is not None and len(carry):
+                for fn in fns:
+                    fn(carry)
+                rows += len(carry)
+            yield pd.DataFrame(
+                {
+                    "pid": [TaskContext.get().partitionId()],
+                    "rows": [rows],
+                    "sec": [time.perf_counter() - t0],
+                }
+            )
+
+        return prepared.mapInPandas(kernel, "pid int, rows long, sec double")
+
+    profiled().collect()  # warm-up: worker pool + JIT + cache residency
+    prof = sorted(profiled().collect(), key=lambda r: r["sec"])
+    secs = [r["sec"] for r in prof]
+    rows = sorted(r["rows"] for r in prof)
+    spark.stop()
+    p50, p100 = median(secs), secs[-1]
+    ratio = p100 / p50 if p50 > 0 else float("inf")
+    result = {
+        "mode": "skew_profile",
+        "job": "model+gorilla kernels over one prepared (conv_id, day) shuffle",
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "tasks": len(secs),
+        "task_sec_p50": round(p50, 3),
+        "task_sec_p90": round(secs[int(len(secs) * 0.9) - 1], 3),
+        "task_sec_p100": round(p100, 3),
+        "p100_over_p50": round(ratio, 2),
+        "task_rows_p50": int(median([float(x) for x in rows])),
+        "task_rows_p100": int(rows[-1]),
+        "meets_le_4": ratio <= 4.0,
+    }
+    print(json.dumps(result))
+    if ratio > 4.0:
+        raise SystemExit(
+            f"skew straggler: task p100/p50 = {ratio:.2f} > 4 — the "
+            "segmentation + (key, window) partitioning are not absorbing "
+            "the long-conversation skew"
+        )
+    return result
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--skew" in sys.argv:
+        skew_profile(
+            sf=float(args[0]) if len(args) > 0 else 100.0,
+            cpus=int(args[1]) if len(args) > 1 else 8,
+        )
+        return
     n = int(args[0]) if len(args) > 0 else 2
     sf = float(args[1]) if len(args) > 1 else 100.0
     pairs = int(args[2]) if len(args) > 2 else 5
