@@ -52,6 +52,12 @@ _SELECTORS: dict[str, Callable[..., np.ndarray]] = {
     "wavelet_threshold": lambda x, t, **kw: K.wavelet_threshold_indices(
         x, t, wavelet=kw.get("wavelet", "db4")
     ),
+    # fixed-wavelet variant so one metrics pass can evaluate BOTH the haar
+    # and db4 thresholding selectors side by side (the error bench's ninth
+    # value-oracled method)
+    "wavelet_threshold_db4": lambda x, t, **kw: K.wavelet_threshold_indices(
+        x, t, wavelet="db4"
+    ),
 }
 
 SELECT_SCHEMA = StructType(

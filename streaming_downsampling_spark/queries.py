@@ -2679,11 +2679,12 @@ SQL_MODEL_DB4 = _sql_model_db4()
 def q_error_bench_sql(spark, sf_dir):
     """SQL-reconstructable slice of the reconstruction-error benchmark:
     uniform / avg_pool / max_pool / minmax / random_hash /
-    haar-wavelet-threshold / lttb / pip selection + endpoint-anchored
-    linear reconstruction + MSE/MAE (/root/reference/new_evaluation.py:66-183,
-    185-209) are pure window/join SQL, so the distributed metrics kernel
-    gets a full per-window value oracle for EIGHT of the reference's
-    methods (round-3 verdict #3; lttb round 4; pip round 5):
+    haar- and db4-wavelet-threshold / lttb / pip selection +
+    endpoint-anchored linear reconstruction + MSE/MAE
+    (/root/reference/new_evaluation.py:66-183, 185-209) are pure
+    window/join SQL, so the distributed metrics kernel gets a full
+    per-window value oracle for NINE methods (round-3 verdict #3; lttb
+    round 4; pip + db4 thresholding round 5):
 
     * minmax: per-block argmin/argmax with numpy's first-occurrence
       tie-break mirrored as (v, rn0) window ordering;
@@ -2711,10 +2712,12 @@ def q_error_bench_sql(spark, sf_dir):
       the (distance DESC, position ASC) winner; the chord distance uses
       the kernel's exact expression (products/sums + correctly-rounded
       sqrt — see ``kernels.pip_indices``), so distances are bit-identical
-      and the walk reproduces the kernel's kept set.
-
-    db4-thresholding stays invariant-oracled and runs in the rows-only
-    ``downsample_error_bench``."""
+      and the walk reproduces the kernel's kept set;
+    * wavelet_threshold_db4: the whole-group db4 cD recomputed via the
+      same 8-tap symmetric-extension chain the model oracle proved
+      bit-identical (``_db4_tap_chain``), len_cD = (n+7)//2, with the
+      haar leg's ranking/mapping template — so BOTH of the north-rule
+      kernel's wavelets are value-oracled end-to-end."""
     ev = _t(spark, sf_dir, "events")
     metrics = downsample_metrics_multi(
         ev,
@@ -2725,6 +2728,7 @@ def q_error_bench_sql(spark, sf_dir):
             "minmax",
             "random_hash",
             "wavelet_threshold",
+            "wavelet_threshold_db4",
             "lttb",
             "pip",
         ],
@@ -3168,12 +3172,78 @@ pip_m AS (
          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
          round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
          round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM pip_rec GROUP BY 1, 2)
+  FROM pip_rec GROUP BY 1, 2),
+-- db4 wavelet thresholding: the whole-group db4 cD computed relationally
+-- via the SAME 8-tap sym-ext chain proven bit-identical for the model
+-- oracle (len_cD = (n+7)//2); ranking/mapping mirror the haar leg with
+-- db4's length formula
+wt4_arr AS (
+  SELECT key, window_start, max(n) AS n, list(v ORDER BY rn0) AS arr
+  FROM base GROUP BY 1, 2),
+wt4_cd AS (
+  SELECT key, window_start, n, t.j AS j,
+         {DB4_CD_CHAIN} AS cd
+  FROM wt4_arr, unnest(generate_series(0, (n + 7) // 2 - 1)) AS t(j)
+  WHERE n > 20),
+wt4_rank AS (
+  SELECT key, window_start, n, j,
+         row_number() OVER (PARTITION BY key, window_start
+                            ORDER BY abs(cd) DESC, j ASC) AS r
+  FROM wt4_cd),
+wt4_detail AS (
+  SELECT DISTINCT key, window_start,
+         least(CAST(n - 1 AS BIGINT), greatest(0,
+           CAST(round_even(j * (CAST(n AS DOUBLE)
+                                / CAST((n + 7) // 2 AS DOUBLE)), 0)
+                AS BIGINT))) AS rn0
+  FROM wt4_rank WHERE r <= 10),
+wt4_k AS (
+  SELECT b.key, b.window_start, b.n, b.v, b.rn0,
+         (b.n <= 20
+          OR d.rn0 IS NOT NULL
+          OR (b.rn0 % greatest(1, b.n // 10) = 0
+              AND b.rn0 // greatest(1, b.n // 10) < 10)) AS kept
+  FROM base b
+  LEFT JOIN wt4_detail d USING (key, window_start, rn0)),
+wt4_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM wt4_k),
+wt4_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM wt4_f),
+wt4_m AS (
+  SELECT key, window_start, 'wavelet_threshold_db4' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM wt4_rec GROUP BY 1, 2)
 SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
 UNION ALL SELECT * FROM mm_m UNION ALL SELECT * FROM rh_m
-UNION ALL SELECT * FROM wt_m UNION ALL SELECT * FROM lt_m
+UNION ALL SELECT * FROM wt_m UNION ALL SELECT * FROM wt4_m
+UNION ALL SELECT * FROM lt_m
 UNION ALL SELECT * FROM pip_m
 """
+
+SQL_ERROR_BENCH = SQL_ERROR_BENCH.replace(
+    "{DB4_CD_CHAIN}", _db4_tap_chain("arr", "n", "t.j", _db4_taps()[1], "duckdb")
+)
 
 
 def q_frame_sample(spark, sf_dir):
