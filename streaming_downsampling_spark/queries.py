@@ -2258,14 +2258,20 @@ def q_model_downsample(spark, sf_dir):
 
 def q_downsample_error_bench(spark, sf_dir):
     """Per-method reconstruction-error benchmark (the reference's
-    new_evaluation harness as one distributed query).  All six methods run
-    in ONE sorted-group pass — one shuffle of the events table, not six
-    (/root/reference/new_evaluation.py:244-253 evaluates every method inside
-    the same per-sample loop for the same reason)."""
+    new_evaluation harness as one distributed query).  All EIGHT of the
+    reference's methods run in ONE sorted-group pass — one shuffle of the
+    events table, not eight (/root/reference/new_evaluation.py:244-253
+    evaluates every method inside the same per-sample loop for the same
+    reason); random_hash is the portable stand-in for the seeded random
+    sampler, wavelet_threshold runs the reference's db4 default.  This
+    diagnostic reports R²/MSE aggregates (non-SQL metrics like spectral
+    feed it); the per-window MSE/MAE VALUES of all these selectors are
+    hash-oracled in ``error_bench_sql``."""
     ev = _t(spark, sf_dir, "events")
     metrics = downsample_metrics_multi(
         ev,
-        ["uniform", "minmax", "lttb", "wavelet_threshold", "avg_pool", "max_pool"],
+        ["uniform", "random_hash", "minmax", "lttb", "pip",
+         "wavelet_threshold", "avg_pool", "max_pool"],
         20,
         window="1 day", key_col="event_type",
         ts_col="ts", value_col="value", order_col="event_id",
