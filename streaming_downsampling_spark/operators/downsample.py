@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import kernels as K
+from ..functions import wavelets as wv
 from ._groupmap import group_bounds, sorted_group_map
 
 _SELECTORS: dict[str, Callable[..., np.ndarray]] = {
@@ -331,3 +332,101 @@ def model_frame_fn(
         )
 
     return frame_fn
+
+
+ATTN_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_start", TimestampType()),
+        StructField("seg", IntegerType()),
+        StructField("i", IntegerType()),
+        StructField("n_cd", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("score", DoubleType()),
+        StructField("sel", IntegerType()),
+    ]
+)
+
+
+def attention_scores(
+    df: DataFrame,
+    window: str = "1 hour",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "turn_idx",
+    wavelet: str = "db4",
+    retention: float = 0.8,
+    seed: int = 42,
+    max_seg: int = 200,
+    weights=None,
+) -> DataFrame:
+    """The model pipeline's attention RANKING stage exposed as rows — one
+    row per (group, segment, detail-coefficient position) carrying the
+    frozen scorer's softmax score and the kernel's top-k selection flag.
+
+    This is the value-oracle seam for the one ingredient the model parity
+    queries could only multiset-check: the attention importance ordering
+    (/root/reference/core/downsampling_algorithm2.py:94-120).  Segmentation
+    replicates :func:`kernels.model_downsample` exactly (groups <= max_seg
+    run whole — even length-1 groups; longer groups split at max_seg with a
+    trailing <2-point segment dropped), dwt + scoring run through the SAME
+    batched kernels as the production model job (bit-equal to the scalar
+    path by test), bucketed by segment length so each distinct length costs
+    one numpy call chain regardless of group count.
+    """
+
+    def frame_fn(body: pd.DataFrame) -> pd.DataFrame:
+        bounds, keys, ws = group_bounds(body)
+        vals = K.sanitize(body["_value"].to_numpy(dtype=np.float64))
+        gkey = keys[bounds[:-1]]
+        gws = ws[bounds[:-1]]
+        segs: list[tuple[int, int, np.ndarray]] = []
+        for g in range(len(bounds) - 1):
+            x = vals[bounds[g] : bounds[g + 1]]
+            n = len(x)
+            if n <= max_seg:
+                segs.append((g, 0, x))
+            else:
+                for si, a in enumerate(range(0, n, max_seg)):
+                    s = x[a : a + max_seg]
+                    if len(s) < 2:
+                        break
+                    segs.append((g, si, s))
+        bylen: dict[int, list[tuple[int, int, np.ndarray]]] = {}
+        for t in segs:
+            bylen.setdefault(len(t[2]), []).append(t)
+        frames: list[pd.DataFrame] = []
+        for n_seg in sorted(bylen):
+            items = bylen[n_seg]
+            X = np.stack([t[2] for t in items])
+            _, cD = wv.dwt(X, wavelet)
+            S = K.attention_importance_batch(cD, seed=seed, weights=weights)
+            m = cD.shape[1]
+            k = max(1, int(round(m * retention)))
+            order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            selmask = np.zeros(S.shape, dtype=np.int32)
+            np.put_along_axis(selmask, order, 1, axis=1)
+            G = len(items)
+            gs = np.array([t[0] for t in items])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": np.repeat(gkey[gs], m),
+                        "window_start": np.repeat(gws[gs], m),
+                        "seg": np.repeat(
+                            np.array([t[1] for t in items], dtype=np.int32), m
+                        ),
+                        "i": np.tile(np.arange(m, dtype=np.int32), G),
+                        "n_cd": np.full(G * m, m, dtype=np.int32),
+                        "k": np.full(G * m, k, dtype=np.int32),
+                        "score": S.ravel(),
+                        "sel": selmask.ravel(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return sorted_group_map(
+        df, window, key_col, ts_col, value_col, order_col, frame_fn, ATTN_SCHEMA
+    )

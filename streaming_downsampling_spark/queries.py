@@ -2682,6 +2682,192 @@ JOIN psum p USING (key, window_start)
 SQL_MODEL_DB4 = _sql_model_db4()
 
 
+def q_model_attention_parity(spark, sf_dir):
+    """Value oracle for the frozen-attention RANKING — the last ingredient
+    of the flagship model pipeline without a SQL twin (round-4 verdict:
+    "only the attention ranking stays pytest-only").  The Spark side runs
+    the REAL kernel (db4 DWT → sinusoidal positional encoding → 4-head QK
+    softmax attention mass + gradient term → softmax scores → stable top-k,
+    /root/reference/core/downsampling_algorithm2.py:94-120,180-201) via
+    :func:`operators.downsample.attention_scores`; the DuckDB oracle
+    recomputes every score RELATIONALLY per (event_type, day, 200-row
+    segment, coefficient position):
+
+    * cD via the proven bit-identical 8-tap db4 chain (``_db4_tap_chain``);
+    * the positional encoding and the frozen Q/K weights are NOT
+      re-derived with libm — the exact float64 values the kernel uses are
+      embedded as repr() literals (1664 pe + 544 weight constants), so the
+      only engine-evaluated transcendental left is the softmax ``exp``;
+    * matmuls as SUM() aggregates over the literal weight tables, softmax
+      via window functions, np.gradient's edge/central differences via
+      lag/lead, the final score softmax per segment.
+
+    Scores are compared rounded to 6 decimals (+1e-9 dither; engine
+    summation order and the exp ulp sit ~1e-14 below the grain).  ``sel``
+    (the kernel's top-k flag) is compared against the oracle's
+    (score DESC, i ASC) row_number on its OWN unrounded scores — parity is
+    EMPIRICAL like the LTTB/PIP legs: a near-tie below the engines' ulp
+    noise could in principle flip a rank; at this benchmark's seeds and
+    scales the selection is verified identical at sf0.001/0.01/0.1."""
+    from .operators.downsample import attention_scores
+
+    ev = _t(spark, sf_dir, "events")
+    sc = attention_scores(
+        ev, window="1 day", key_col="event_type", ts_col="ts",
+        value_col="value", order_col="event_id", wavelet="db4",
+    )
+    return sc.select(
+        "key",
+        "window_start",
+        "seg",
+        "i",
+        "n_cd",
+        "k",
+        F.round(F.col("score") + 1e-9, 6).alias("score6"),
+        "sel",
+    )
+
+
+def _sql_model_attention() -> str:
+    """DuckDB twin of the frozen-attention scorer.
+
+    Generated (not hand-written) so the positional-encoding table and the
+    seeded Q/K weights are the kernel's exact float64 bits via repr()
+    round-trip — max coefficient index is (200+7)//2 = 103, so the pe
+    table carries i in [0, 104)."""
+    import numpy as np
+
+    from .functions.kernels import _attention_weights
+
+    d, H = 16, 4
+    w_in, heads = _attention_weights(d, H, 42)
+    max_i = 104
+    pos = np.arange(max_i)[:, None]
+    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+    pe = np.zeros((max_i, d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    pe_vals = ",".join(
+        f"({i},{j},{float(pe[i, j])!r})"
+        for i in range(max_i)
+        for j in range(d)
+    )
+    win_vals = ",".join(f"({j},{float(w_in[0, j])!r})" for j in range(d))
+    dh = d // H
+    wq_vals = ",".join(
+        f"({m},{j},{a},{float(heads[m][0][j, a])!r})"
+        for m in range(H)
+        for j in range(d)
+        for a in range(dh)
+    )
+    wk_vals = ",".join(
+        f"({m},{j},{a},{float(heads[m][1][j, a])!r})"
+        for m in range(H)
+        for j in range(d)
+        for a in range(dh)
+    )
+    _, rec_hi = _db4_taps()
+    cd_chain = _db4_tap_chain("arr", "nseg", "i", rec_hi, "duckdb")
+    return f"""
+WITH base AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS window_start,
+         CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+              THEN 0.0 ELSE value END AS v,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY event_id) - 1 AS rn0
+  FROM events),
+segs AS (
+  SELECT key, window_start, rn0 // 200 AS seg,
+         list(v ORDER BY rn0) AS arr, count(*) AS nseg
+  FROM base GROUP BY 1, 2, 3),
+kept AS (
+  SELECT *, (nseg + 7) // 2 AS m FROM segs WHERE nseg >= 2 OR seg = 0),
+cd AS (
+  SELECT key, window_start, seg, m, i, {cd_chain} AS cv
+  FROM (SELECT key, window_start, seg, m, arr, nseg,
+               unnest(range(0, CAST(m AS INT))) AS i
+        FROM kept) u),
+win_t AS (SELECT * FROM (VALUES {win_vals}) AS t(j, w)),
+pe_t AS (SELECT * FROM (VALUES {pe_vals}) AS t(i, j, p)),
+wq_t AS (SELECT * FROM (VALUES {wq_vals}) AS t(m, j, a, w)),
+wk_t AS (SELECT * FROM (VALUES {wk_vals}) AS t(m, j, a, w)),
+h AS (
+  SELECT c.key, c.window_start, c.seg, c.i, wt.j,
+         c.cv * wt.w + pt.p AS hv
+  FROM cd c
+  CROSS JOIN win_t wt
+  JOIN pe_t pt ON pt.i = c.i AND pt.j = wt.j),
+qm AS (
+  SELECT h.key, h.window_start, h.seg, h.i, t.m, t.a,
+         sum(h.hv * t.w) AS qv
+  FROM h JOIN wq_t t ON t.j = h.j
+  GROUP BY 1, 2, 3, 4, 5, 6),
+km AS (
+  SELECT h.key, h.window_start, h.seg, h.i, t.m, t.a,
+         sum(h.hv * t.w) AS kv
+  FROM h JOIN wk_t t ON t.j = h.j
+  GROUP BY 1, 2, 3, 4, 5, 6),
+lg AS (
+  SELECT q.key, q.window_start, q.seg, q.m, q.i, k.i AS pidx,
+         sum(q.qv * k.kv) / 2.0 AS logit
+  FROM qm q
+  JOIN km k ON k.key = q.key AND k.window_start = q.window_start
+           AND k.seg = q.seg AND k.m = q.m AND k.a = q.a
+  GROUP BY 1, 2, 3, 4, 5, 6),
+sm AS (
+  SELECT *, exp(logit - max(logit) OVER (PARTITION BY key, window_start,
+                                         seg, m, i)) AS e
+  FROM lg),
+attn AS (
+  SELECT key, window_start, seg, m, i, pidx,
+         e / sum(e) OVER (PARTITION BY key, window_start, seg, m, i) AS a
+  FROM sm),
+mass AS (
+  SELECT key, window_start, seg, pidx AS i, sum(a) AS gm_raw
+  FROM attn GROUP BY 1, 2, 3, 4),
+loc AS (
+  SELECT c.key, c.window_start, c.seg, c.i, c.m,
+         CASE WHEN c.m = 1 THEN 1.0
+              WHEN c.i = 0 THEN abs(lead(c.cv) OVER w - c.cv)
+              WHEN c.i = c.m - 1 THEN abs(c.cv - lag(c.cv) OVER w)
+              ELSE abs((lead(c.cv) OVER w - lag(c.cv) OVER w) / 2.0)
+         END AS lv
+  FROM cd c
+  WINDOW w AS (PARTITION BY c.key, c.window_start, c.seg ORDER BY c.i)),
+locn AS (
+  SELECT key, window_start, seg, i, m,
+         lv / greatest(sum(lv) OVER (PARTITION BY key, window_start, seg),
+                       1e-12) AS lnorm
+  FROM loc),
+sc AS (
+  SELECT l.key, l.window_start, l.seg, l.i, l.m,
+         0.7 * (ms.gm_raw / (4.0 * l.m)) + 0.3 * l.lnorm AS s
+  FROM locn l
+  JOIN mass ms ON ms.key = l.key AND ms.window_start = l.window_start
+              AND ms.seg = l.seg AND ms.i = l.i),
+fe AS (
+  SELECT *, exp(s - max(s) OVER (PARTITION BY key, window_start, seg)) AS e
+  FROM sc),
+fin AS (
+  SELECT key, window_start, seg, i, m,
+         e / sum(e) OVER (PARTITION BY key, window_start, seg) AS score
+  FROM fe),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY key, window_start, seg
+                               ORDER BY score DESC, i ASC) AS rnk,
+         greatest(1, CAST(round(0.8 * m, 0) AS BIGINT)) AS k
+  FROM fin)
+SELECT key, window_start, CAST(seg AS INT) AS seg, CAST(i AS INT) AS i,
+       CAST(m AS INT) AS n_cd, CAST(k AS INT) AS k,
+       round(score + 1e-9, 6) AS score6,
+       CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INT) AS sel
+FROM rk
+"""
+
+
+SQL_MODEL_ATTENTION = _sql_model_attention()
+
+
 def q_error_bench_sql(spark, sf_dir):
     """SQL-reconstructable slice of the reconstruction-error benchmark:
     uniform / avg_pool / max_pool / minmax / random_hash /
@@ -3653,6 +3839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- model pipeline + reconstruction-error parity
     "model_haar_parity": q_model_haar_parity,
     "model_db4_parity": q_model_db4_parity,
+    "model_attention_parity": q_model_attention_parity,
     "error_bench_sql": q_error_bench_sql,
     # -- compression
     "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -3674,7 +3861,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_rollup_1h": q_stream_rollup_1h,
     "stream_tier_cascade": q_stream_tier_cascade,
     "stateful_last_n": q_stateful_last_n,
-    "last_n_buffer": q_last_n_buffer,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup": q_stream_dedup,
     # -- warehouse maintenance
@@ -3692,6 +3878,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_suite": q_text_suite,
     "ann_suite": q_ann_suite,
     "media_suite": q_media_suite,
+    # -- T7 batch twin of the in-window stateful_last_n (same last-15
+    # semantics, same oracle shape; the streaming mechanism keeps the
+    # in-window slot, this window-function variant sits past the prefix
+    # under the local gate — the slot it frees holds the new
+    # model_attention_parity value oracle)
+    "last_n_buffer": q_last_n_buffer,
     # -- relational (TPC-H shapes), digest-covered by relational_suite
     "customers_per_region": q_customers_per_region,
     "brand_revenue": q_brand_revenue,
@@ -3788,6 +3980,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "model_haar_parity": SQL_MODEL_HAAR,
     "model_db4_parity": SQL_MODEL_DB4,
+    "model_attention_parity": SQL_MODEL_ATTENTION,
     "error_bench_sql": SQL_ERROR_BENCH,
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
     "rollup_15m": SQL_ROLLUP_15M,
