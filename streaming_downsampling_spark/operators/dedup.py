@@ -164,6 +164,7 @@ def lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -171,6 +172,11 @@ def lsh_candidates(
     no cross join; skewed buckets are bounded by the band-hash space.  The
     bucket key is the band's signature slice rendered as a string (engine-
     portable; equality is all the join needs).
+
+    ``distinct=False`` skips the final cross-band dedup shuffle — for
+    consumers that dedup anyway (connected components opens by distinct-ing
+    its oriented edge set, so the pairs' own distinct would be a second
+    shuffle over the same values).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
@@ -192,33 +198,34 @@ def lsh_candidates(
     banded = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    # Materialize the banded signatures before self-joining: they are tiny
-    # relative to the input (bands rows of (id, band, bucket) per doc vs the
-    # full shingle fan-out), and without this the scan→shingle→hash→agg
-    # pipeline runs once per join side — the two sides' exchange stages can
-    # even race, so a lazy cache doesn't dedup the work.  Eager
-    # localCheckpoint instead of persist(): same materialization, but the
-    # blocks are dropped by the ContextCleaner when the DataFrame goes out
-    # of scope, so a long session running the whole catalog doesn't
-    # accumulate storage (round-2 leak finding).
-    banded = banded.localCheckpoint(eager=True)
-    # shuffle join, never broadcast: both sides are the SAME banded table —
-    # at scale broadcasting it would ship the whole signature set to every
-    # executor.
-    left = banded.alias("l")
-    right = banded.alias("r").hint("shuffle_hash")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
-        .distinct()
+    # Pairs via groupBy-bucket + in-bucket combinations, NOT a self-join:
+    # one shuffle on (band, bucket) and ONE scan of the signature pipeline,
+    # where a self-join shuffles two copies and either re-runs the upstream
+    # per side or needs an extra materialization job to avoid that.  The
+    # per-bucket id array is bounded by the band-collision probability (a
+    # bucket of size k yields k(k-1)/2 candidate pairs under EITHER shape,
+    # so a bucket big enough to blow up the array row was already a
+    # quadratic-pair explosion; cap it upstream by adding bands/rows, not by
+    # changing the join shape).  array_sort(collect_set) makes the pair
+    # orientation deterministic: doc_a < doc_b by construction.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    pairs = buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b")
+    return pairs.distinct() if distinct else pairs
 
 
 def ngram_jaccard_pairs(
@@ -503,7 +510,10 @@ def connected_components(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count action right below is the first read,
+            # so it materializes the round's labels and counts the moved
+            # ones in ONE job instead of checkpoint-then-count
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -559,12 +569,13 @@ def connected_components_star(
       smaller neighbor (and u itself) re-attaches to the minimum one.
 
     Each half-round is one window-min pass over the (symmetric) edge set —
-    no groupBy+join pair, so nothing is read twice and only the
-    alternation's final edge set is materialized (eager localCheckpoint,
-    which also truncates the plan — see :func:`connected_components`).
-    Fixed point detected by an order-insensitive (count, hash-xor)
-    signature scanned from the checkpointed blocks.  At the fixed point
-    the edges form stars centered on each component's minimum id.
+    no groupBy+join pair, so nothing is read twice.  Each alternation is
+    exactly ONE Spark job: the result is a LAZY localCheckpoint (plan
+    truncation — see :func:`connected_components`) whose materialization is
+    triggered by the fixed-point signature scan itself, so the signature
+    costs no extra action.  Fixed point detected by an order-insensitive
+    (count, hash-xor) signature.  At the fixed point the edges form stars
+    centered on each component's minimum id.
 
     Output: (node, component) for every node appearing in ``pairs`` —
     identical semantics to :func:`connected_components`.
@@ -574,16 +585,10 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # nodes is only read once, by the final labels join — derive it lazily
-    # from the CHECKPOINTED initial edge set (an eager materialization here
-    # would spend a whole job on data the fixed-point loop never touches)
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
+    # the signature collect is the first action over the lazy checkpoint, so
+    # it materializes the initial edge set AND hashes it in one job
     sig = _edge_signature(edges)
     win = Window.partitionBy("u")
     for _ in range(max_iter):
@@ -629,9 +634,11 @@ def connected_components_star(
             .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         edges = ss
+        # single action per alternation: the signature scan materializes the
+        # lazy checkpoint and computes the fixed-point test together
         new_sig = _edge_signature(edges)
         if new_sig == sig:
             break
@@ -641,12 +648,23 @@ def connected_components_star(
             f"connected_components_star did not reach a fixed point in "
             f"{max_iter} alternations"
         )
-    # at the fixed point every non-center node carries exactly one edge to
-    # its component's minimum id; centers label themselves
+    # At the fixed point every non-center node carries exactly one edge to
+    # its component's minimum id, and every node of the input appears in the
+    # star edge set (large-star preserves edges toward larger neighbors, so
+    # no node is ever dropped — Kiveris 2014 §3).  Labels therefore read
+    # straight off the final edges: u-side rows are the non-centers, v-side
+    # ids are the centers (self-labeled) — no join against a separately
+    # derived node set.  groupBy-min instead of a bare projection is a
+    # belt-and-braces guard: it collapses a u that still carried several
+    # edges to the min one, which at a true fixed point never happens.
     labels = (
-        nodes.join(edges, nodes.node == edges.u, "left")
-        .groupBy("node")
-        .agg(F.least(F.min("v"), F.first("node")).alias("component"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("component"))
+        .unionByName(
+            edges.select(
+                F.col("v").alias("node"), F.col("v").alias("component")
+            ).distinct()
+        )
     )
     return labels
 
@@ -663,7 +681,13 @@ def dedup_components(
     pairs → connected components; docs in no pair are their own canonical.
     Output: (doc_id, component_id)."""
     cands = lsh_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_fn=hash_fn,
+        distinct=False,  # CC distincts its own edge set — skip the dup shuffle
     )
     comp = connected_components(cands)
     return (

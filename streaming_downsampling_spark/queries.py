@@ -2090,7 +2090,9 @@ def q_dedup_components_star(spark, sf_dir):
     label-propagation ``dedup_components``, but convergence is independent
     of component diameter (the chain-graph scale hazard)."""
     docs = _t(spark, sf_dir, "documents")
-    cands = D.lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5")
+    cands = D.lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_fn="md5", distinct=False
+    )
     comp = D.connected_components_star(cands)
     return (
         docs.select("doc_id")
