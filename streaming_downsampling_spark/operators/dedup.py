@@ -165,6 +165,7 @@ def lsh_candidates(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     distinct: bool = True,
+    edge_mode: str = "pairs",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -177,6 +178,21 @@ def lsh_candidates(
     consumers that dedup anyway (connected components opens by distinct-ing
     its oriented edge set, so the pairs' own distinct would be a second
     shuffle over the same values).
+
+    ``edge_mode``:
+
+    * ``"pairs"`` (default): every in-bucket pair — k(k-1)/2 rows for a
+      bucket of k docs.  Required when each candidate is individually
+      verified downstream (exact-Jaccard filtering).
+    * ``"star"``: each doc paired only with its bucket's minimum id —
+      k-1 rows per bucket, SAME transitive connectivity (everything in a
+      bucket stays connected through the minimum), so connected-components
+      consumers get identical clusters.  This removes the quadratic
+      hot-bucket hazard entirely: a corpus slice of near-identical docs
+      (empty strings, boilerplate) lands in one bucket, and at 10⁹-doc
+      scale a 10⁶-doc bucket means 10¹² pair rows under "pairs" but 10⁶
+      edges under "star".  Implemented as a window-min over (band, bucket)
+      — one shuffle, no per-bucket array materialization at all.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
@@ -198,6 +214,18 @@ def lsh_candidates(
     banded = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if edge_mode == "star":
+        # One window-min shuffle on (band, bucket): each doc emits a single
+        # edge to its bucket minimum.  No collect_set — nothing per-bucket
+        # is ever materialized as one row, so even a pathological bucket is
+        # linear work spread across the window's sort spill.
+        w = Window.partitionBy("band", "bucket")
+        edges = (
+            banded.withColumn("mn", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("mn"))
+            .select(F.col("mn").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+        return edges.distinct() if distinct else edges
     # Pairs via groupBy-bucket + in-bucket combinations, NOT a self-join:
     # one shuffle on (band, bucket) and ONE scan of the signature pipeline,
     # where a self-join shuffles two copies and either re-runs the upstream
@@ -342,6 +370,51 @@ def simhash(
     return agg.select(id_col, fp.alias("simhash"))
 
 
+def _in_bucket_hamming_pairs(
+    blocked: DataFrame, bucket_cols: list[str], id_col: str
+) -> DataFrame:
+    """Expand each fingerprint bucket into ordered (doc_a, doc_b, hamming).
+
+    groupBy-bucket + in-bucket combinations, NOT a self-join: one shuffle
+    on the bucket key and ONE scan of the fingerprint pipeline (the word
+    explode + packed vote aggregation are the expensive part; a self-join
+    either recomputes them per side or needs an extra materialization job
+    to avoid it — the shape lsh_candidates moved away from for the same
+    reason).  array_sort on (id, simhash) structs orders by id first, so
+    doc_a < doc_b by construction.  A bucket of k docs emits k(k-1)/2
+    pairs under EITHER shape — pairs ARE the output contract here; recall
+    tuning (prefix_bits / n_blocks) is what bounds bucket size.
+    """
+    items = F.array_sort(
+        F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+    )
+    buckets = (
+        blocked.groupBy(*bucket_cols)
+        .agg(items.alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(
+                        x["id"].alias("doc_a"),
+                        y["id"].alias("doc_b"),
+                        F.bit_count(
+                            x["simhash"].bitwiseXOR(y["simhash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.hamming"
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -357,27 +430,7 @@ def simhash_near_dups(
     blocked = s.withColumn(
         "block", F.shiftrightunsigned("simhash", simhash_bits(hash_fn) - prefix_bits)
     )
-    # materialize the tiny (id, simhash, block) table before the self-join —
-    # each side otherwise recomputes the word explode + 60 conditional sums
-    # (no exchange reuse across self-join sides); shuffle join because
-    # broadcasting the whole fingerprint table is wrong at corpus scale.
-    # localCheckpoint: GC-scoped cleanup, see lsh_candidates.
-    blocked = blocked.localCheckpoint(eager=True)
-    l, r = blocked.alias("l"), blocked.alias("r").hint("shuffle_hash")
-    return (
-        l.join(
-            r,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
-    )
+    return _in_bucket_hamming_pairs(blocked, ["block"], id_col)
 
 
 def simhash_near_dups_blocked(
@@ -425,23 +478,8 @@ def simhash_near_dups_blocked(
     blocked = s.select(
         id_col, "simhash", F.explode(F.array(*blocks)).alias("blk")
     ).select(id_col, "simhash", "blk.bi", "blk.bv")
-    # materialize once before the self-join (see simhash_near_dups)
-    blocked = blocked.localCheckpoint(eager=True)
-    l, r = blocked.alias("l"), blocked.alias("r").hint("shuffle_hash")
     return (
-        l.join(
-            r,
-            (F.col("l.bi") == F.col("r.bi"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
+        _in_bucket_hamming_pairs(blocked, ["bi", "bv"], id_col)
         .filter(F.col("hamming") <= max_hamming)
         # a close pair can share several blocks — one row per pair
         .distinct()
@@ -688,6 +726,7 @@ def dedup_components(
         bands=bands,
         hash_fn=hash_fn,
         distinct=False,  # CC distincts its own edge set — skip the dup shuffle
+        edge_mode="star",  # same connectivity, k-1 edges/bucket not k(k-1)/2
     )
     comp = connected_components(cands)
     return (

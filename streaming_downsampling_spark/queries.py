@@ -2091,7 +2091,12 @@ def q_dedup_components_star(spark, sf_dir):
     of component diameter (the chain-graph scale hazard)."""
     docs = _t(spark, sf_dir, "documents")
     cands = D.lsh_candidates(
-        docs, num_hashes=16, bands=4, hash_fn="md5", distinct=False
+        docs,
+        num_hashes=16,
+        bands=4,
+        hash_fn="md5",
+        distinct=False,
+        edge_mode="star",  # connectivity-equivalent, linear per bucket
     )
     comp = D.connected_components_star(cands)
     return (

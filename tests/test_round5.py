@@ -124,3 +124,63 @@ def test_kafka_source_contract(spark):
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(d)
     src = build_stream_source(spark, d, source_format="parquet", schema=schema)
     assert src.isStreaming and src.schema == schema
+
+
+def test_lsh_star_mode_same_components_and_linear_edges(spark):
+    """``edge_mode="star"`` must give IDENTICAL connected components to the
+    full pair expansion (everything in a bucket stays connected through the
+    bucket minimum) while emitting k-1 edges per bucket instead of
+    k(k-1)/2 — including on a pathological hot bucket (many identical
+    docs), the shape that kills the quadratic expansion at corpus scale."""
+    from streaming_downsampling_spark.operators import dedup as D
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with words " + " ".join(
+        f"w{i}{j}" for j in range(8))) for i in range(10)]
+    rows += [(200, "pack my box with five dozen liquor jugs"),
+             (201, "pack my box with five dozen liquor jugs")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(num_hashes=8, bands=4, hash_fn="md5", distinct=True)
+    pairs = D.lsh_candidates(docs, **kw, edge_mode="pairs")
+    star = D.lsh_candidates(docs, **kw, edge_mode="star")
+
+    n_pairs, n_star = pairs.count(), star.count()
+    # hot bucket: 40 identical docs -> 780 pairs vs 39 star edges
+    assert n_star < n_pairs, (n_star, n_pairs)
+    assert n_star <= 4 * (40 + 2)  # <= (k-1) per bucket per band
+
+    def comps(edges):
+        out = D.connected_components(edges)
+        return {(r["node"], r["component"]) for r in out.collect()}
+
+    assert comps(star) == comps(pairs)
+
+    # star edges always point at the bucket minimum
+    assert star.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_simhash_bucket_pairs_shape(spark):
+    """The groupBy-bucket simhash pair expansion must keep the self-join
+    contract: doc_a < doc_b, one row per pair, correct Hamming distance."""
+    from streaming_downsampling_spark.operators import dedup as D
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "totally different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.simhash_near_dups(docs, prefix_bits=4, hash_fn="md5").collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in out)
+    assert len({(r["doc_a"], r["doc_b"]) for r in out}) == len(out)
+    ident = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert ident.get((1, 2)) == 0  # identical docs -> identical fingerprints
+
+    blocked = D.simhash_near_dups_blocked(
+        docs, n_blocks=4, max_hamming=3, hash_fn="md5"
+    ).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in blocked)
+    assert len({(r["doc_a"], r["doc_b"]) for r in blocked}) == len(blocked)
+    assert {(r["doc_a"], r["doc_b"]) for r in blocked} >= {(1, 2)}
