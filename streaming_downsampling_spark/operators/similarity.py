@@ -137,32 +137,52 @@ def lsh_near_dup_pairs(
     Output: (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
     """
     b = hyperplane_lsh_buckets(embeddings, dim, n_planes, id_col, vec_col, seed)
-    # materialize buckets before the self-join — otherwise each side
-    # recomputes every plane projection (no exchange reuse across the join),
-    # and force a shuffle join: broadcasting the whole bucketed corpus is
-    # wrong at scale (same rationale as dedup.lsh_candidates)
-    # (eager localCheckpoint: materialized once, blocks GC-cleaned with the
-    # DataFrame — no storage-pool leak across a catalog run)
-    b = b.localCheckpoint(eager=True)
-    a, c = b.alias("a"), b.alias("b").hint("shuffle_hash")
-    cos = F.round(
-        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
-        6,
+    # groupBy-bucket + in-bucket combinations, NOT a self-join: one shuffle
+    # on the bucket key and ONE scan of the plane-projection pipeline (a
+    # self-join recomputes every projection per side, or needs an extra
+    # materialization job to avoid it).  Norms are computed per vector
+    # BEFORE the group so the pair expansion pays only the dot product.
+    # array_sort on (id, ...) structs orders by id first: id_a < id_b by
+    # construction.  A bucket of k vectors yields k(k-1)/2 pairs under
+    # either shape — bucket size is bounded by n_planes, the documented
+    # recall/cost knob.
+    withn = b.withColumn("nrm", _norm(F.col(vec_col)))
+    buckets = (
+        withn.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("nrm"),
+                        F.col(vec_col).alias("v"),
+                    )
+                )
+            ).alias("items")
+        )
+        .filter(F.size("items") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.round(
+                            _dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"]), 6
+                        ).alias("cos"),
+                    ),
+                ),
+            )
+        )
     )
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("cos", cos)
+        buckets.select(pair.alias("p"))
+        .select("p.id_a", "p.id_b", "p.cos")
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cos",
-        )
     )
 
 
