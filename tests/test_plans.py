@@ -97,3 +97,34 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         )
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_bucketed_pair_generators_one_scan_no_join(spark):
+    """Every bucketed pair generator (text LSH, simhash single/multi-block,
+    embedding hyperplane-LSH) must plan as groupBy-bucket + in-bucket
+    expansion: ONE scan of its input, ZERO join nodes.  A self-join
+    sneaking back in doubles the hash-pipeline work and re-adds the
+    materialization job the round-5 rework removed."""
+    from streaming_downsampling_spark.operators import dedup as D
+    from streaming_downsampling_spark.operators import similarity as S
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    plans = {
+        "lsh_pairs": _plan(D.lsh_candidates(docs, num_hashes=8, bands=4)),
+        "lsh_star": _plan(
+            D.lsh_candidates(docs, num_hashes=8, bands=4, edge_mode="star")
+        ),
+        "simhash": _plan(D.simhash_near_dups(docs, prefix_bits=8)),
+        "simhash_blocked": _plan(
+            D.simhash_near_dups_blocked(docs, n_blocks=4, max_hamming=3)
+        ),
+        "embedding": _plan(
+            S.lsh_near_dup_pairs(emb, dim=dim, n_planes=4, threshold=0.0)
+        ),
+    }
+    for name, plan in plans.items():
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
