@@ -169,30 +169,21 @@ def skew_profile(sf: float = 100.0, cpus: int = 8) -> dict:
     prepared.count()
     fns = [model_frame_fn(), encode_frame_fn()]
 
+    from streaming_downsampling_spark.operators._groupmap import (
+        iter_whole_group_frames,
+    )
+
     def profiled():
+        # drives the REAL production carry walk (iter_whole_group_frames is
+        # the exact generator apply_sorted's kernel runs), timing the whole
+        # per-task pass and emitting one stats row per task
         def kernel(batches):
             t0 = time.perf_counter()
             rows = 0
-            carry = None
-            for pdf in batches:
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                    carry = None
-                if not len(pdf):
-                    continue
-                lk = pdf["key"].iloc[-1]
-                lw = pdf["window_start"].iloc[-1]
-                tail = (pdf["key"] == lk) & (pdf["window_start"] == lw)
-                carry = pdf[tail]
-                body = pdf[~tail]
-                if len(body):
-                    for fn in fns:
-                        fn(body)
-                    rows += len(body)
-            if carry is not None and len(carry):
+            for body in iter_whole_group_frames(batches):
                 for fn in fns:
-                    fn(carry)
-                rows += len(carry)
+                    fn(body)
+                rows += len(body)
             yield pd.DataFrame(
                 {
                     "pid": [TaskContext.get().partitionId()],

@@ -59,6 +59,32 @@ def prepare_sorted(
     )
 
 
+def iter_whole_group_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The cross-batch group-carry walk, shared by the production kernel
+    and the skew profiler (so the profiler can never measure a diverged
+    copy of this logic): yield frames that contain only WHOLE
+    (key, window_start) groups, carrying each batch's trailing group into
+    the next batch because an Arrow batch boundary may split a group."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        lk = pdf["key"].iloc[-1]
+        lw = pdf["window_start"].iloc[-1]
+        tail = (pdf["key"] == lk) & (pdf["window_start"] == lw)
+        carry = pdf[tail]
+        body = pdf[~tail]
+        if len(body):
+            yield body
+    if carry is not None and len(carry):
+        yield carry
+
+
 def apply_sorted(
     prepared: DataFrame,
     frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -68,24 +94,8 @@ def apply_sorted(
     cross-batch group-carry kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            lk = pdf["key"].iloc[-1]
-            lw = pdf["window_start"].iloc[-1]
-            tail = (pdf["key"] == lk) & (pdf["window_start"] == lw)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                out = frame_fn(body)
-                if len(out):
-                    yield out
-        if carry is not None and len(carry):
-            out = frame_fn(carry)
+        for body in iter_whole_group_frames(batches):
+            out = frame_fn(body)
             if len(out):
                 yield out
 

@@ -17,6 +17,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._pairs import in_bucket_pairs
 from ._spread import spread
 
 # MinHash permutations — two hash families:
@@ -238,21 +239,13 @@ def lsh_candidates(
     # orientation deterministic: doc_a < doc_b by construction.
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("items"))
+        .filter(F.size("items") > 1)
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
+    pairs = in_bucket_pairs(
+        buckets,
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
-    pairs = buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b")
     return pairs.distinct() if distinct else pairs
 
 
@@ -273,7 +266,15 @@ def ngram_jaccard_pairs(
     set — at corpus scale the candidates are a vanishing fraction), and that
     restricted shingle set is materialized once instead of being recomputed
     for each of its three uses (sizes, left join side, right join side).
+    The candidate set itself is materialized first for the same reason: it
+    is referenced four times below (both cand_ids legs, the intersection
+    join, the final left join), and without a checkpoint each reference
+    re-runs the whole upstream LSH pipeline (exchange reuse does not fire
+    reliably across these shapes — measured 0 ReusedExchange, 2 extra
+    parquet scans).  Eager localCheckpoint: blocks GC-cleaned with the
+    DataFrame, same hygiene as the shingle set.
     """
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -323,15 +324,17 @@ def simhash(
     fingerprint bit = 1 where the sum > 0.  Implemented as explode(words) →
     BIT-SLICED packed sums → bit reassembly — one shuffle, map-side
     combined.  Instead of one conditional SUM per bit (60–63 aggregate
-    buffers — round-4 verdict efficiency item), three bit counters are
-    packed into each 64-bit accumulator (20-bit slots), cutting the
-    aggregate count to ``nbits/3``; the per-bit vote is recovered as
+    buffers — round-4 verdict efficiency item), two bit counters are
+    packed into each 64-bit accumulator (31-bit slots), cutting the
+    aggregate count to ``nbits/2``; the per-bit vote is recovered as
     ``2·ones_b − n_words`` (identical sign, hence identical fingerprint).
-    The 20-bit slot bounds a document at 2²⁰ words — exceeding it raises
-    instead of silently corrupting the adjacent counter.
+    The 31-bit slot bounds a document at 2³¹−1 words (~8 GiB of text in
+    ONE row — beyond any real document; the earlier 3-slot/20-bit packing
+    failed at 2²⁰ ≈ 1M words, which a concatenated-log or book-length doc
+    can genuinely reach).  Exceeding the bound raises instead of silently
+    corrupting the adjacent counter.
     """
     nbits = simhash_bits(hash_fn)
-    assert nbits % 3 == 0  # 60 (md5) and 63 (xxhash64) both slice evenly
     words = spread(df).select(
         id_col,
         F.explode(
@@ -342,28 +345,27 @@ def simhash(
         ).alias("w"),
     ).withColumn("h", _hash_long(hash_fn, "sh", F.col("w")) if hash_fn == "md5" else F.xxhash64("w"))
     packs = []
-    for j in range(nbits // 3):
-        # bits (3j, 3j+1, 3j+2) -> slots at offsets (0, 20, 40)
-        e = F.shiftrightunsigned("h", 3 * j).bitwiseAND(F.lit(7))
+    for j in range((nbits + 1) // 2):
+        # bits (2j, 2j+1) -> slots at offsets (0, 31)
+        e = F.shiftrightunsigned("h", 2 * j).bitwiseAND(F.lit(3))
         packs.append(
             F.sum(
                 e.bitwiseAND(F.lit(1))
-                + F.shiftleft(e.bitwiseAND(F.lit(2)), 19)
-                + F.shiftleft(e.bitwiseAND(F.lit(4)), 38)
+                + F.shiftleft(e.bitwiseAND(F.lit(2)), 30)
             ).alias(f"p{j}")
         )
     agg = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"), *packs)
     fp = None
     for b in range(nbits):
-        j, slot = divmod(b, 3)
-        ones = F.shiftrightunsigned(F.col(f"p{j}"), 20 * slot).bitwiseAND(
-            F.lit((1 << 20) - 1)
+        j, slot = divmod(b, 2)
+        ones = F.shiftrightunsigned(F.col(f"p{j}"), 31 * slot).bitwiseAND(
+            F.lit((1 << 31) - 1)
         )
         bit = F.when(ones * 2 > F.col("nw"), F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
-    fp = F.when(F.col("nw") < F.lit(1 << 20), fp).otherwise(
+    fp = F.when(F.col("nw") < F.lit((1 << 31) - 1), fp).otherwise(
         F.raise_error(
-            F.lit("simhash: a document exceeds 2^20 words; packed vote "
+            F.lit("simhash: a document exceeds 2^31-1 words; packed vote "
                   "counters would overflow")
         ).cast("long")
     )
@@ -393,25 +395,15 @@ def _in_bucket_hamming_pairs(
         .agg(items.alias("items"))
         .filter(F.size("items") > 1)
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("items"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                    lambda y: F.struct(
-                        x["id"].alias("doc_a"),
-                        y["id"].alias("doc_b"),
-                        F.bit_count(
-                            x["simhash"].bitwiseXOR(y["simhash"])
-                        ).alias("hamming"),
-                    ),
-                ),
-            )
-        )
-    )
-    return buckets.select(pair.alias("p")).select(
-        "p.doc_a", "p.doc_b", "p.hamming"
+    return in_bucket_pairs(
+        buckets,
+        lambda x, y: F.struct(
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                "hamming"
+            ),
+        ),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._pairs import in_bucket_pairs
 from ._spread import spread
 
 
@@ -120,7 +121,7 @@ def hyperplane_lsh_buckets(
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
-    n_planes: int = 4,
+    n_planes: int = 16,  # sizing contract: >= log2(N / target_bucket_size)
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -143,9 +144,19 @@ def lsh_near_dup_pairs(
     # materialization job to avoid it).  Norms are computed per vector
     # BEFORE the group so the pair expansion pays only the dot product.
     # array_sort on (id, ...) structs orders by id first: id_a < id_b by
-    # construction.  A bucket of k vectors yields k(k-1)/2 pairs under
-    # either shape — bucket size is bounded by n_planes, the documented
-    # recall/cost knob.
+    # construction.
+    #
+    # SIZING CONTRACT — unlike the text-LSH bucket key (a band signature,
+    # effectively unbounded cardinality), there are only 2^n_planes buckets
+    # here, so n_planes bounds bucket COUNT and the expected bucket SIZE is
+    # N / 2^n_planes.  Each bucket's items land in ONE aggregation row
+    # (struct of id, norm, vector), which cannot split or spill per-group:
+    # size n_planes >= log2(N / target_bucket) so a bucket stays ~1e4-1e5
+    # vectors (a few tens of MB).  That is the same regime where the pair
+    # OUTPUT k(k-1)/2 is feasible at all — a bucket big enough to blow the
+    # row buffer (~4M vectors -> 2 GB) implies ~1e13 output pairs, dead
+    # under any shape — but the buffer fails faster and harder than a
+    # streamed join, so the knob is a hard contract, not a tuning hint.
     withn = b.withColumn("nrm", _norm(F.col(vec_col)))
     buckets = (
         withn.groupBy("bucket")
@@ -162,28 +173,16 @@ def lsh_near_dup_pairs(
         )
         .filter(F.size("items") > 1)
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("items"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        F.round(
-                            _dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"]), 6
-                        ).alias("cos"),
-                    ),
-                ),
-            )
-        )
-    )
-    return (
-        buckets.select(pair.alias("p"))
-        .select("p.id_a", "p.id_b", "p.cos")
-        .filter(F.col("cos") >= threshold)
-    )
+    return in_bucket_pairs(
+        buckets,
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.round(_dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"]), 6).alias(
+                "cos"
+            ),
+        ),
+    ).filter(F.col("cos") >= threshold)
 
 
 def lsh_ann_topk(

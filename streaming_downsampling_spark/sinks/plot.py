@@ -143,13 +143,16 @@ def plot_downsampled(
     Returns the written paths (sorted by key).  Keys beyond ``max_keys``
     are skipped.  Series longer than ``4 * max_points`` are first
     stride-thinned across their whole time range (uniform row-number
-    stride, never MORE than ``4 * max_points`` rows collected per key —
-    the stride keeps the full span, not just the head: round-3 ADVICE),
-    then LTTB-thinned to ``max_points`` driver-side before rasterizing.
-    LTTB anchors both endpoints itself, so the stride carries no special
-    last-row clause (round-4 ADVICE: the old extra clause made the cap
-    ``4 * max_points + 1``); the count feeding the stride rides in the
-    SAME window pass as the row numbers, so thinning is one job, not a
+    stride, so the thinning keeps the full span, not just the head:
+    round-3 ADVICE), then LTTB-thinned to ``max_points`` driver-side
+    before rasterizing.  The stride keeps the true LAST row explicitly —
+    LTTB anchors only the endpoints of the already-thinned set, so
+    without the clause the plot could end up to step−1 rows before the
+    real series end (a final spike would vanish); the documented collect
+    cap is therefore ``4 * max_points + 1`` rows per key (round-4
+    ADVICE offered dropping the clause OR documenting the +1 — dropping
+    it was wrong).  The count feeding the stride rides in the SAME
+    window pass as the row numbers, so thinning is one job, not a
     count job plus a filter job.  The unpartitioned ordering window runs
     as one task per key — bounded here because it processes a single
     plotted key's rows, which is exactly the driver-side bound this sink
@@ -178,9 +181,13 @@ def plot_downsampled(
         wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         sub = (
             sub.withColumn("_rn", F.row_number().over(w) - 1)
-            .withColumn("_step", F.ceil(F.count(F.lit(1)).over(wall) / F.lit(cap)))
-            .filter(F.col("_rn") % F.col("_step") == 0)
-            .drop("_rn", "_step")
+            .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+            .withColumn("_step", F.ceil(F.col("_cnt") / F.lit(cap)))
+            .filter(
+                (F.col("_rn") % F.col("_step") == 0)
+                | (F.col("_rn") == F.col("_cnt") - 1)
+            )
+            .drop("_rn", "_cnt", "_step")
         )
         rows = sub.orderBy(ts_col).collect()
         xs = np.array([r[0].timestamp() for r in rows], dtype=np.float64)

@@ -151,6 +151,8 @@ def run_tier_stream(
     schema=None,
     source_format: str = "parquet",
     lineage: LineageLog | None = None,
+    kafka_servers: str = "localhost:9092",
+    kafka_topic: str | None = None,
 ) -> dict:
     """Run one bounded (AvailableNow) pass of the tier stream.
 
@@ -158,10 +160,18 @@ def run_tier_stream(
     (key, window_start) — re-running after a kill cannot duplicate windows.
     ``source_format="json"`` consumes the reference's JSON wire format
     (each record deserialized with the stream schema — S7 semantics:
-    malformed records parse to nulls instead of crashing the job); swapping
-    in Kafka is the same one-line source change.  Returns run stats.
+    malformed records parse to nulls instead of crashing the job);
+    ``source_format="kafka"`` forwards ``kafka_servers``/``kafka_topic``
+    to the source seam and REQUIRES an explicit ``schema`` (there is no
+    file feed to infer one from — a Kafka value blob carries no schema).
+    Returns run stats.
     """
     if schema is None:
+        if source_format == "kafka":
+            raise ValueError(
+                "run_tier_stream(source_format='kafka') needs an explicit "
+                "schema: Kafka value bytes carry no schema to infer from"
+            )
         schema = spark.read.format(source_format).load(source_dir).schema
     src = build_stream_source(
         spark,
@@ -169,6 +179,8 @@ def run_tier_stream(
         source_format=source_format,
         schema=schema,
         max_files_per_trigger=max_files_per_trigger,
+        kafka_servers=kafka_servers,
+        kafka_topic=kafka_topic,
     )
     # P4 type coercion: a JSON feed with an inferred string event-time (or a
     # producer that wrote ISO strings) is coerced, not crashed on

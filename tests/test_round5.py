@@ -184,3 +184,30 @@ def test_simhash_bucket_pairs_shape(spark):
     assert all(r["doc_a"] < r["doc_b"] for r in blocked)
     assert len({(r["doc_a"], r["doc_b"]) for r in blocked}) == len(blocked)
     assert {(r["doc_a"], r["doc_b"]) for r in blocked} >= {(1, 2)}
+
+
+def test_simhash_handles_million_word_document(spark):
+    """The 31-bit packed vote slots must fingerprint a document beyond the
+    old 2^20-word bound (book-length / concatenated-log docs are real in a
+    web corpus) — the earlier 20-bit packing raised there.  The expected
+    fingerprint is recomputed independently from per-word md5 vote math."""
+    import hashlib
+
+    from streaming_downsampling_spark.operators import dedup as D
+
+    vocab = [f"word{i}" for i in range(32)]
+    reps = (1 << 20) // len(vocab) + 7  # > 2^20 words total
+    text = " ".join(vocab * reps)
+    n_words = len(vocab) * reps
+    assert n_words > 1 << 20
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = D.simhash(docs, hash_fn="md5").collect()[0]["simhash"]
+
+    votes = [0] * 60
+    for w in vocab:
+        hv = int(hashlib.md5(f"sh|{w}".encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += reps if (hv >> b) & 1 else -reps
+    expected = sum(1 << b for b in range(60) if votes[b] > 0)
+    assert got == expected
