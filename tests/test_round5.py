@@ -211,3 +211,21 @@ def test_simhash_handles_million_word_document(spark):
             votes[b] += reps if (hv >> b) & 1 else -reps
     expected = sum(1 << b for b in range(60) if votes[b] > 0)
     assert got == expected
+
+
+def test_run_tier_stream_kafka_requires_schema(spark, tmp_path):
+    """source_format='kafka' with schema=None must fail fast with a clear
+    error (Kafka value bytes carry no schema), not fall into file-based
+    schema inference against a path that is actually a topic name."""
+    from streaming_downsampling_spark.sources.tables import Warehouse
+    from streaming_downsampling_spark.streaming.jobs import run_tier_stream
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="kafka.*schema|schema.*[Kk]afka"):
+        run_tier_stream(
+            spark,
+            "transcripts-topic",
+            str(tmp_path / "ckpt"),
+            wh,
+            source_format="kafka",
+        )
