@@ -3526,9 +3526,13 @@ FROM cm GROUP BY media_id, kind, L
 # text/embedding/dedup tail would otherwise be visible only to the local
 # gate.  Each suite below runs its member queries VERBATIM (the very same
 # catalog callables) and reduces every result to one row
-# (query_name, row_count, digest) where digest is an order-insensitive
-# bit_xor of a 60-bit md5 over portably-normalized row strings; the DuckDB
-# oracle computes the same digests over the members' own oracle SQL.  A
+# (query_name, row_count, digest, digest2) where digest is an
+# order-insensitive bit_xor of a 60-bit md5 over portably-normalized row
+# strings and digest2 is the modular SUM of the same hashes (xor alone
+# cancels even-multiplicity duplicates; the sum is duplicate-sensitive, so
+# a multiset difference must collide in both accumulators at once to slip
+# through); the DuckDB oracle computes the same digests over the members'
+# own oracle SQL.  A
 # driver-green suite row therefore value-checks the member end-to-end
 # (round-4 verdict #1: consolidation — the members stay registered and
 # individually oracled for the local gate; nothing is curated out).
@@ -3625,6 +3629,10 @@ _SUITE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 }
 
 _DIGEST_NULL = "\\N"
+# Sum-accumulator modulus: 2^62 so the reduced value fits a signed 64-bit
+# long on both engines (Spark sums in DECIMAL(38,0), DuckDB in HUGEINT —
+# neither can overflow before the mod at any realistic row count).
+_DIGEST_SUM_MOD = 2**62
 
 
 def _digest_df(df: DataFrame, name: str) -> DataFrame:
@@ -3639,6 +3647,10 @@ def _digest_df(df: DataFrame, name: str) -> DataFrame:
         parts.append(F.coalesce(s, F.lit(_DIGEST_NULL)))
     rowstr = F.concat_ws("|", *parts)
     h = F.conv(F.substring(F.md5(rowstr), 1, 15), 16, 10).cast("long")
+    # Two independent order-insensitive accumulators: xor alone is blind to
+    # even-multiplicity changes (rows {A,A,B} vs {C,C,B} xor-collide), so a
+    # modular SUM of the same 60-bit hashes rides alongside — a multiset
+    # change must now collide in xor AND in sum mod 2^62 simultaneously.
     return (
         df.select(h.alias("h"))
         .groupBy()
@@ -3647,8 +3659,17 @@ def _digest_df(df: DataFrame, name: str) -> DataFrame:
             F.coalesce(F.expr("bit_xor(h)"), F.lit(0).cast("long")).alias(
                 "digest"
             ),
+            F.coalesce(
+                (
+                    F.sum(F.col("h").cast("decimal(38,0)"))
+                    % F.lit(_DIGEST_SUM_MOD)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("digest2"),
         )
-        .select(F.lit(name).alias("query_name"), "row_count", "digest")
+        .select(
+            F.lit(name).alias("query_name"), "row_count", "digest", "digest2"
+        )
     )
 
 
@@ -3666,8 +3687,9 @@ def _suite_query(suite: str):
     fn.__doc__ = (
         f"Digest gate for {', '.join(members)}: runs the member catalog "
         "queries verbatim and reduces each to (query_name, row_count, "
-        "order-insensitive md5-xor digest); the oracle computes identical "
-        "digests over the members' own DuckDB oracle SQL."
+        "order-insensitive md5-xor digest, duplicate-sensitive modular-sum "
+        "digest2); the oracle computes identical digests over the members' "
+        "own DuckDB oracle SQL."
     )
     return fn
 
@@ -3684,9 +3706,11 @@ def _sql_digest(name: str, oracle_sql: str) -> str:
     return (
         f"SELECT '{name}' AS query_name,\n"
         f"       CAST(count(*) AS BIGINT) AS row_count,\n"
-        f"       CAST(coalesce(bit_xor(CAST('0x' || substr(md5({rowstr}), 1, 15)"
-        f" AS BIGINT)), 0) AS BIGINT) AS digest\n"
-        f"FROM (\n{oracle_sql}\n) __m"
+        f"       CAST(coalesce(bit_xor(__h), 0) AS BIGINT) AS digest,\n"
+        f"       CAST(coalesce(sum(__h) % {_DIGEST_SUM_MOD}, 0) AS BIGINT)"
+        f" AS digest2\n"
+        f"FROM (SELECT CAST('0x' || substr(md5({rowstr}), 1, 15) AS BIGINT)"
+        f" AS __h FROM (\n{oracle_sql}\n) __m) __hs"
     )
 
 

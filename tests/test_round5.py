@@ -59,6 +59,29 @@ def test_suite_schemas_match_live_queries(spark):
         assert live == _SUITE_SCHEMAS[m], f"{m}: schema drifted: {live}"
 
 
+def test_digest_sum_catches_xor_cancellation(spark):
+    """The suite digest's bit_xor accumulator alone cannot distinguish two
+    multisets whose differing rows have even multiplicity ({A,A,B} vs
+    {C,C,B}: the duplicate pair xors to 0 on both sides).  digest2 — the
+    modular SUM of the same 60-bit row hashes — must separate exactly that
+    pair, and both accumulators must agree on a genuinely equal multiset."""
+    from streaming_downsampling_spark.queries import _digest_df
+
+    def digest(rows):
+        df = spark.createDataFrame(rows, "doc_id long, n_copies long")
+        r = _digest_df(df, "m").collect()[0]
+        return r["row_count"], r["digest"], r["digest2"]
+
+    aab = digest([(1, 7), (1, 7), (2, 9)])
+    ccb = digest([(3, 5), (3, 5), (2, 9)])
+    assert aab[0] == ccb[0] == 3
+    assert aab[1] == ccb[1], "precondition: this is the xor-collision pair"
+    assert aab[2] != ccb[2], "digest2 must be duplicate-sensitive"
+    # equal multisets agree on every accumulator regardless of row order
+    again = digest([(2, 9), (1, 7), (1, 7)])
+    assert again == aab
+
+
 def test_attention_weights_blob_roundtrip(tmp_path):
     """The trained-weight seam (round-4 verdict #7): exporting the frozen
     weights, round-tripping them through np.savez, and feeding them back as
