@@ -718,7 +718,13 @@ def dedup_components(
         bands=bands,
         hash_fn=hash_fn,
         distinct=False,  # CC distincts its own edge set — skip the dup shuffle
-        edge_mode="star",  # same connectivity, k-1 edges/bucket not k(k-1)/2
+        # pairs (clique) edges, NOT star: min-label propagation is
+        # O(component diameter) rounds, and star edges put two non-min
+        # bucket members 2 hops apart instead of 1 — a bucket-chained
+        # cluster could exceed max_iter and crash a call that converged
+        # before.  Star edges belong to the O(log n)-round Kiveris variant
+        # (dedup_components_star), which is diameter-proof by construction.
+        edge_mode="pairs",
     )
     comp = connected_components(cands)
     return (

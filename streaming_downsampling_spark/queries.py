@@ -3641,7 +3641,17 @@ def _digest_df(df: DataFrame, name: str) -> DataFrame:
     for fld in sorted(df.schema.fields, key=lambda f: f.name):
         c = F.col(fld.name)
         if fld.dataType.simpleString() == "double":
-            s = F.format_string("%.6f", c + F.lit(1e-9))
+            # NULL/NaN/Inf must be canonicalized EXPLICITLY: Java's
+            # format_string renders them 'null'/'NaN'/'Infinity' (so a bare
+            # coalesce never fires) while DuckDB's printf yields
+            # NULL/'nan'/'inf' — identical values would hash differently.
+            s = (
+                F.when(c.isNull(), F.lit(_DIGEST_NULL))
+                .when(F.isnan(c), F.lit("nan"))
+                .when(c == F.lit(float("inf")), F.lit("inf"))
+                .when(c == F.lit(float("-inf")), F.lit("-inf"))
+                .otherwise(F.format_string("%.6f", c + F.lit(1e-9)))
+            )
         else:
             s = c.cast("string")
         parts.append(F.coalesce(s, F.lit(_DIGEST_NULL)))
@@ -3698,7 +3708,15 @@ def _sql_digest(name: str, oracle_sql: str) -> str:
     parts = []
     for col, typ in sorted(_SUITE_SCHEMAS[name]):
         if typ == "double":
-            s = f"printf('%.6f', {col} + 1e-9)"
+            # mirror _digest_df's canonical NULL/NaN/Inf forms exactly
+            # (isnan first: DuckDB's total order makes NaN compare equal)
+            s = (
+                f"CASE WHEN {col} IS NULL THEN '{_DIGEST_NULL}'"
+                f" WHEN isnan({col}) THEN 'nan'"
+                f" WHEN {col} = 'infinity'::DOUBLE THEN 'inf'"
+                f" WHEN {col} = '-infinity'::DOUBLE THEN '-inf'"
+                f" ELSE printf('%.6f', {col} + 1e-9) END"
+            )
         else:
             s = f"CAST({col} AS VARCHAR)"
         parts.append(f"coalesce({s}, '{_DIGEST_NULL}')")

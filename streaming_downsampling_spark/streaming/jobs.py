@@ -112,6 +112,14 @@ def build_stream_source(
     that the reader construction reaches Spark's source resolution with the
     right format string and deserialization chain."""
     if source_format == "kafka":
+        if schema is None:
+            # fail fast at the public seam too — otherwise from_json(None)
+            # surfaces as an opaque pyspark TypeError far from the cause
+            raise ValueError(
+                "build_stream_source(source_format='kafka') needs an "
+                "explicit schema: Kafka value bytes carry no schema to "
+                "infer from"
+            )
         raw = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_servers)

@@ -82,6 +82,43 @@ def test_digest_sum_catches_xor_cancellation(spark):
     assert again == aab
 
 
+def test_digest_nonfinite_parity_spark_vs_duckdb(spark):
+    """NULL / NaN / ±Inf doubles must hash to the SAME row strings on both
+    digest engines: Java's format_string says 'null'/'NaN'/'Infinity' while
+    DuckDB's printf says NULL/'nan'/'inf', so both sides canonicalize these
+    explicitly before formatting — this pins the full non-finite matrix."""
+    import duckdb
+
+    from streaming_downsampling_spark import queries as q
+
+    rows = [
+        (None, 1),
+        (float("nan"), 2),
+        (float("inf"), 3),
+        (float("-inf"), 4),
+        (0.0078125, 5),  # dyadic .5-boundary value, exercises the dither
+    ]
+    sdf = spark.createDataFrame(rows, "v double, k long")
+    got = q._digest_df(sdf, "t").collect()[0]
+
+    q._SUITE_SCHEMAS["__nonfinite_t"] = [("v", "double"), ("k", "bigint")]
+    try:
+        sql = q._sql_digest(
+            "__nonfinite_t",
+            "SELECT * FROM (VALUES (NULL, CAST(1 AS BIGINT)),"
+            " ('nan'::DOUBLE, 2), ('infinity'::DOUBLE, 3),"
+            " ('-infinity'::DOUBLE, 4), (0.0078125, 5)) t(v, k)",
+        )
+        exp = duckdb.sql(sql).fetchall()[0]
+    finally:
+        del q._SUITE_SCHEMAS["__nonfinite_t"]
+    assert (got["row_count"], got["digest"], got["digest2"]) == (
+        exp[1],
+        exp[2],
+        exp[3],
+    )
+
+
 def test_attention_weights_blob_roundtrip(tmp_path):
     """The trained-weight seam (round-4 verdict #7): exporting the frozen
     weights, round-tripping them through np.savez, and feeding them back as
