@@ -45,19 +45,25 @@ def hash_random_indices(
     n: int, target: int, group_key: str = "", seed: int = 42
 ) -> np.ndarray:
     """Portable seeded random selection, fully vectorized: rank positions by
-    a per-(seed, key) md5-seeded affine permutation of the 32-bit domain —
-    ``rank(i) = (a·i + b) mod 2³²`` with odd ``a`` (a bijection, so ranks
-    are distinct and ties impossible) — and keep the ``min(target, n)``
-    smallest ranks, returned sorted by position.  Same selection semantics
-    as the reference's seeded ``np.random.choice`` sampler
-    (/root/reference/new_evaluation.py:96-101), but the RNG is ONE md5 per
-    group plus pure array math instead of PCG64 state, so (a) an external
-    SQL engine reproduces the identical index set from the same two
-    constants, and (b) there is no per-point Python in the kernel — the
-    old md5-per-position list comprehension was the engine's only
-    interpreter-level per-point loop (round-4 ADVICE).  Same affine family
-    already proven portable for MinHash (``operators/dedup.affine_constants``);
-    ``a < 2³¹`` keeps ``a·i`` under 2⁶³ for any 32-bit position."""
+    a per-(seed, key) md5-seeded affine map of the 32-bit domain —
+    ``x(i) = (a·i + b) mod 2³²`` with odd ``a`` — pushed through the
+    murmur3 fmix32 avalanche finalizer.  Both steps are bijections of the
+    32-bit domain, so ranks are distinct and ties impossible; the
+    ``min(target, n)`` smallest ranks are kept, returned sorted by
+    position.  The avalanche step is what makes the selection RANDOM-LIKE:
+    a bare affine rank restricted to ``i < n`` is a lattice — by the
+    three-distance theorem the gaps between selected positions take at
+    most 3 distinct values (a jittered-systematic sample, not a random
+    one), which would silently bias the error bench's 'random' baseline
+    toward uniform sampling's error profile.  fmix32 decorrelates rank
+    from position, restoring ``np.random.choice``-like gap statistics
+    (asserted by test) while staying ONE md5 per group plus pure array
+    math — no per-point Python (round-4 ADVICE), and an external SQL
+    engine reproduces the identical index set from the same two constants
+    (the oracle chains the same xor/shift/multiply steps in HUGEINT).
+    Selection semantics mirror the reference's seeded sampler
+    (/root/reference/new_evaluation.py:96-101); ``a < 2³¹`` keeps ``a·i``
+    under 2⁶³ for any 32-bit position."""
     import hashlib
 
     k = min(target, n)
@@ -68,10 +74,18 @@ def hash_random_indices(
     h = hashlib.md5(f"rs:{seed}:{group_key}".encode()).hexdigest()
     a = (int(h[:8], 16) & 0x7FFFFFFF) | 1
     b = int(h[8:16], 16)
-    ranks = (a * np.arange(n, dtype=np.int64) + b) & 0xFFFFFFFF
+    x = ((a * np.arange(n, dtype=np.int64) + b) & 0xFFFFFFFF).astype(
+        np.uint32
+    )
+    # murmur3 fmix32 (public domain constants); uint32 ops wrap mod 2^32
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x85EBCA6B)
+    x ^= x >> np.uint32(13)
+    x *= np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
     # ranks are distinct -> the k-smallest SET is unique; argpartition is
     # O(n) vs argsort's O(n log n)
-    return np.sort(np.argpartition(ranks, k - 1)[:k].astype(np.int64))
+    return np.sort(np.argpartition(x, k - 1)[:k].astype(np.int64))
 
 
 def avg_pool(x: np.ndarray, target: int) -> np.ndarray:

@@ -2887,9 +2887,11 @@ def q_error_bench_sql(spark, sf_dir):
 
     * minmax: per-block argmin/argmax with numpy's first-occurrence
       tie-break mirrored as (v, rn0) window ordering;
-    * random_hash: the portable affine-permutation analog of the
-      reference's seeded random sampler (rank(i) = (a·i+b) mod 2³², one
-      md5 per group seeds (a, b) — ``kernels.hash_random_indices``);
+    * random_hash: the portable analog of the reference's seeded random
+      sampler (affine map (a·i+b) mod 2³² + murmur3 fmix32 avalanche, one
+      md5 per group seeds (a, b) — ``kernels.hash_random_indices``; the
+      avalanche gives random gap statistics, a bare affine rank is a
+      lattice/jittered-systematic sample);
     * wavelet_threshold (haar variant): haar cD is exact pairwise
       arithmetic — bit-identical across engines, so the |cD| ranking
       (stable ties by position) and the signal-domain index mapping
@@ -3065,19 +3067,34 @@ mm_k AS (
   SELECT b.key, b.window_start, b.n, b.v, b.rn0,
          (s.rn0 IS NOT NULL) AS kept
   FROM base b LEFT JOIN mm_sel s USING (key, window_start, rn0)),
--- random_hash: affine-permutation seeded sampler (portable twin of the
--- kernel): per-key constants a = (md5[0:8] & 0x7FFFFFFF) | 1 (odd -> a
--- bijection of the 32-bit domain, ranks distinct, ties impossible),
--- b = md5[8:16]; keep the 20 smallest ranks (a*i + b) mod 2^32
+-- random_hash: seeded sampler (portable twin of the kernel): per-key
+-- constants a = (md5[0:8] & 0x7FFFFFFF) | 1, b = md5[8:16]; affine map
+-- x = (a*i + b) mod 2^32 pushed through the murmur3 fmix32 avalanche
+-- (both bijections -> ranks distinct, ties impossible; the avalanche
+-- destroys the affine lattice so the selection has random gap
+-- statistics, not jittered-systematic ones); keep the 20 smallest ranks.
+-- Multiplies chain through HUGEINT mod 2^32 for exact uint32 wraparound.
+rh_h0 AS (
+  SELECT key, window_start, n, v, rn0,
+         (((CAST('0x' || substr(md5('rs:42:' || key), 1, 8) AS BIGINT)
+            & 2147483647) | 1) * rn0
+          + CAST('0x' || substr(md5('rs:42:' || key), 9, 8) AS BIGINT))
+         & 4294967295 AS h
+  FROM base),
+rh_h1 AS (SELECT key, window_start, n, v, rn0, xor(h, h >> 16) AS h FROM rh_h0),
+rh_h2 AS (SELECT key, window_start, n, v, rn0,
+                 CAST((CAST(h AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h
+          FROM rh_h1),
+rh_h3 AS (SELECT key, window_start, n, v, rn0, xor(h, h >> 13) AS h FROM rh_h2),
+rh_h4 AS (SELECT key, window_start, n, v, rn0,
+                 CAST((CAST(h AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS h
+          FROM rh_h3),
 rh_k AS (
   SELECT key, window_start, n, v, rn0,
          row_number() OVER (PARTITION BY key, window_start
-                            ORDER BY (((CAST('0x' || substr(md5('rs:42:' || key), 1, 8) AS BIGINT)
-                                        & 2147483647) | 1) * rn0
-                                      + CAST('0x' || substr(md5('rs:42:' || key), 9, 8) AS BIGINT))
-                                     & 4294967295) <= 20
+                            ORDER BY xor(h, h >> 16)) <= 20
            AS kept
-  FROM base),
+  FROM rh_h4),
 mm_f AS (
   SELECT key, window_start, n, v, rn0, kept,
          last_value(CASE WHEN kept THEN v END IGNORE NULLS)

@@ -59,6 +59,30 @@ def test_suite_schemas_match_live_queries(spark):
         assert live == _SUITE_SCHEMAS[m], f"{m}: schema drifted: {live}"
 
 
+def test_hash_random_indices_gap_statistics():
+    """A bare affine rank restricted to i < n is a lattice: by the
+    three-distance theorem the gaps between the k selected positions take
+    at most 3 distinct values — a jittered-systematic sample that would
+    bias the error bench's 'random' baseline toward uniform sampling's
+    error profile.  The fmix32 avalanche must restore random-like gap
+    dispersion; np.random.choice(1000, 20) yields ~12-17 distinct gaps,
+    so require a conservative >= 8 on every tested key."""
+    from streaming_downsampling_spark.functions.kernels import (
+        hash_random_indices,
+    )
+
+    for key in ["g1", "g2", "k|2024-01-01", "x" * 40]:
+        idx = hash_random_indices(1000, 20, group_key=key)
+        gaps = np.diff(idx)
+        assert len(set(gaps.tolist())) >= 8, (
+            f"{key}: gaps {sorted(set(gaps.tolist()))} look lattice-like"
+        )
+    # determinism and the bijection's tie-free selection are unchanged
+    a = hash_random_indices(1000, 20, group_key="g1")
+    assert np.array_equal(a, hash_random_indices(1000, 20, group_key="g1"))
+    assert len(np.unique(a)) == 20
+
+
 def test_digest_sum_catches_xor_cancellation(spark):
     """The suite digest's bit_xor accumulator alone cannot distinguish two
     multisets whose differing rows have even multiplicity ({A,A,B} vs
