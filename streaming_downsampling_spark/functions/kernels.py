@@ -229,6 +229,25 @@ def wavelet_threshold_indices(
     return np.unique(np.concatenate([approx_sig, detail_sig]))
 
 
+def segment_bounds(n: int, max_seg: int) -> list[tuple[int, int]]:
+    """THE model pipeline's segmentation rule, in exactly one place —
+    shared by :func:`model_downsample` and the ``attention_scores``
+    oracle seam (operators/downsample.py), whose validity depends on
+    segmenting identically: a group of ``n <= max_seg`` points runs WHOLE
+    (even length 0/1); longer groups chop at ``max_seg`` and a trailing
+    segment shorter than 2 points is dropped (DWT needs >= 2).  Returns
+    half-open (start, stop) slices."""
+    if n <= max_seg:
+        return [(0, n)]
+    out: list[tuple[int, int]] = []
+    for a in range(0, n, max_seg):
+        b = min(a + max_seg, n)
+        if b - a < 2:
+            break
+        out.append((a, b))
+    return out
+
+
 def model_downsample(
     x: np.ndarray,
     wavelet: str = "db4",
@@ -268,10 +287,8 @@ def model_downsample(
         )
     pooled_all, sel_all, idx_all = [], [], []
     cd_offset = 0
-    for a in range(0, n, max_seg):
-        seg = x[a : a + max_seg]
-        if len(seg) < 2:
-            break
+    for a, b in segment_bounds(n, max_seg):
+        seg = x[a:b]
         pooled, sel, idx = _model_downsample_seg(
             seg, wavelet, approx_ds_factor, retention, seed, weights
         )

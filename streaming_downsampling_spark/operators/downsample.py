@@ -384,15 +384,10 @@ def attention_scores(
         segs: list[tuple[int, int, np.ndarray]] = []
         for g in range(len(bounds) - 1):
             x = vals[bounds[g] : bounds[g + 1]]
-            n = len(x)
-            if n <= max_seg:
-                segs.append((g, 0, x))
-            else:
-                for si, a in enumerate(range(0, n, max_seg)):
-                    s = x[a : a + max_seg]
-                    if len(s) < 2:
-                        break
-                    segs.append((g, si, s))
+            # segmentation comes from the ONE shared rule — this seam's
+            # oracle validity depends on never diverging from the kernel
+            for si, (a, b) in enumerate(K.segment_bounds(len(x), max_seg)):
+                segs.append((g, si, x[a:b]))
         bylen: dict[int, list[tuple[int, int, np.ndarray]]] = {}
         for t in segs:
             bylen.setdefault(len(t[2]), []).append(t)

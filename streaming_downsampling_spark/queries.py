@@ -2957,6 +2957,47 @@ def q_error_bench_sql(spark, sf_dir):
     )
 
 
+def _recon_legs(tag: str, label: str) -> str:
+    """The endpoint-anchored linear-reconstruction + MSE/MAE SQL template,
+    instantiated once per method from the method's ``{tag}_k`` kept-flags
+    CTE (it was copy-pasted eight times before; a fix to the pv/pi/nv/ni
+    endpoint handling now lands everywhere by construction).  Semantics:
+    kept rows reconstruct as themselves; rows before the first kept point
+    take the next kept value, after the last kept point the previous kept
+    value, interior rows linear-interpolate between surrounding kept
+    points; per-window MSE (3dp) / MAE (4dp) with the kernel's +1e-7
+    pre-round dither."""
+    return f"""{tag}_f AS (
+  SELECT key, window_start, n, v, rn0, kept,
+         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
+           OVER (PARTITION BY key, window_start ORDER BY rn0
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM {tag}_k),
+{tag}_rec AS (
+  SELECT key, window_start, n, v, kept,
+         CASE WHEN kept THEN v
+              WHEN pi IS NULL THEN nv
+              WHEN ni IS NULL THEN pv
+              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
+  FROM {tag}_f),
+{tag}_m AS (
+  SELECT key, window_start, '{label}' AS method,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
+         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
+  FROM {tag}_rec GROUP BY 1, 2)"""
+
+
 SQL_ERROR_BENCH = """
 WITH RECURSIVE base AS (
   SELECT event_type AS key, date_trunc('day', ts) AS window_start,
@@ -2972,34 +3013,7 @@ uni_k AS (
          (rn0 % greatest(1, n // 20) = 0
           AND rn0 // greatest(1, n // 20) < 20) AS kept
   FROM base),
-uni_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM uni_k),
-uni_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM uni_f),
-uni_m AS (
-  SELECT key, window_start, 'uniform' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM uni_rec GROUP BY 1, 2),
+{RECON:uni:uniform},
 -- avg/max pool: window means/maxima at centers j*w+(w-1)/2, np.interp
 -- clamp-to-edge semantics outside [c_0, c_{m-1}]
 pool_j AS (
@@ -3095,64 +3109,8 @@ rh_k AS (
                             ORDER BY xor(h, h >> 16)) <= 20
            AS kept
   FROM rh_h4),
-mm_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM mm_k),
-mm_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM mm_f),
-mm_m AS (
-  SELECT key, window_start, 'minmax' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM mm_rec GROUP BY 1, 2),
-rh_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM rh_k),
-rh_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM rh_f),
-rh_m AS (
-  SELECT key, window_start, 'random_hash' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM rh_rec GROUP BY 1, 2),
+{RECON:mm:minmax},
+{RECON:rh:random_hash},
 -- haar wavelet thresholding: cD_j = x_2j*c - x_2j+1*c with the kernel's
 -- own filter literal c (the filter-bank dot product's exact op order, so
 -- |cD| is BIT-IDENTICAL to numpy and the ranking's ties resolve the same
@@ -3186,35 +3144,7 @@ wt_k AS (
               AND b.rn0 // greatest(1, b.n // 10) < 10)) AS kept
   FROM base b
   LEFT JOIN wt_detail d USING (key, window_start, rn0)),
-wt_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM wt_k),
-wt_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM wt_f),
-wt_m AS (
-  SELECT key, window_start, 'wavelet_threshold' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM wt_rec GROUP BY 1, 2),
+{RECON:wt:wavelet_threshold},
 -- LTTB: the sequential bucket walk as a recursive CTE.  Bucket bounds =
 -- floor(j*(n-2)/18 + 1) (the kernel's linspace(...).astype(int64) ops),
 -- last bound pinned to n-1; next-bucket centroid = sum/count (bit-equal
@@ -3279,35 +3209,7 @@ lt_k AS (
          (b.n <= 20 OR b.rn0 = 0 OR b.rn0 = b.n - 1
           OR s.rn0 IS NOT NULL) AS kept
   FROM base b LEFT JOIN lt_sel s USING (key, window_start, rn0)),
-lt_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM lt_k),
-lt_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM lt_f),
-lt_m AS (
-  SELECT key, window_start, 'lttb' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM lt_rec GROUP BY 1, 2),
+{RECON:lt:lttb},
 -- PIP: iterative max-perpendicular-distance insertion (the kernel's exact
 -- reference semantics, new_evaluation.py:154-183) as a recursive CTE.
 -- Each step re-emits the whole kept set (working table == kept set) and
@@ -3360,35 +3262,7 @@ pip_k AS (
   FROM base b
   LEFT JOIN (SELECT key, window_start, rn0 FROM pip_walk WHERE it = 18) s
     USING (key, window_start, rn0)),
-pip_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM pip_k),
-pip_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM pip_f),
-pip_m AS (
-  SELECT key, window_start, 'pip' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM pip_rec GROUP BY 1, 2),
+{RECON:pip:pip},
 -- db4 wavelet thresholding: the whole-group db4 cD computed relationally
 -- via the SAME 8-tap sym-ext chain proven bit-identical for the model
 -- oracle (len_cD = (n+7)//2); ranking/mapping mirror the haar leg with
@@ -3421,41 +3295,23 @@ wt4_k AS (
               AND b.rn0 // greatest(1, b.n // 10) < 10)) AS kept
   FROM base b
   LEFT JOIN wt4_detail d USING (key, window_start, rn0)),
-wt4_f AS (
-  SELECT key, window_start, n, v, rn0, kept,
-         last_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-         last_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
-         first_value(CASE WHEN kept THEN v END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN kept THEN rn0 END IGNORE NULLS)
-           OVER (PARTITION BY key, window_start ORDER BY rn0
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
-  FROM wt4_k),
-wt4_rec AS (
-  SELECT key, window_start, n, v, kept,
-         CASE WHEN kept THEN v
-              WHEN pi IS NULL THEN nv
-              WHEN ni IS NULL THEN pv
-              ELSE pv + (nv - pv) / (ni - pi) * (rn0 - pi) END AS rec
-  FROM wt4_f),
-wt4_m AS (
-  SELECT key, window_start, 'wavelet_threshold_db4' AS method,
-         CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         round(avg((v - rec) * (v - rec)) + 1e-7, 3) AS mse3,
-         round(avg(abs(v - rec)) + 1e-7, 4) AS mae4
-  FROM wt4_rec GROUP BY 1, 2)
+{RECON:wt4:wavelet_threshold_db4}
 SELECT * FROM uni_m UNION ALL SELECT * FROM pool_m
 UNION ALL SELECT * FROM mm_m UNION ALL SELECT * FROM rh_m
 UNION ALL SELECT * FROM wt_m UNION ALL SELECT * FROM wt4_m
 UNION ALL SELECT * FROM lt_m
 UNION ALL SELECT * FROM pip_m
 """
+
+for _rtag, _rlabel in [
+    ("uni", "uniform"), ("mm", "minmax"), ("rh", "random_hash"),
+    ("wt", "wavelet_threshold"), ("lt", "lttb"), ("pip", "pip"),
+    ("wt4", "wavelet_threshold_db4"),
+]:
+    SQL_ERROR_BENCH = SQL_ERROR_BENCH.replace(
+        "{RECON:%s:%s}" % (_rtag, _rlabel), _recon_legs(_rtag, _rlabel)
+    )
+del _rtag, _rlabel
 
 SQL_ERROR_BENCH = SQL_ERROR_BENCH.replace(
     "{DB4_CD_CHAIN}", _db4_tap_chain("arr", "n", "t.j", _db4_taps()[1], "duckdb")
