@@ -131,14 +131,13 @@ def encode_frame_fn():
 
     def encode_frame(body: pd.DataFrame) -> pd.DataFrame:
         """Encode every (key, window) run in a sorted frame — numpy boundary
-        splits, no per-group pandas objects."""
-        keys = body["key"].to_numpy()
-        ws = body["window_start"].to_numpy()
+        splits (the shared group_bounds walk), no per-group pandas
+        objects."""
+        from ._groupmap import group_bounds
+
+        bounds, keys, ws = group_bounds(body)
         ts_us = _ts_us(body["_ts"])
         vals = body["_value"].to_numpy(dtype=np.float64)
-        n = len(body)
-        change = np.flatnonzero((keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])) + 1
-        bounds = np.concatenate([[0], change, [n]])
         rows = []
         for i in range(len(bounds) - 1):
             a, b = bounds[i], bounds[i + 1]

@@ -195,6 +195,15 @@ def lsh_candidates(
       edges under "star".  Implemented as a window-min over (band, bucket)
       — one shuffle, no per-bucket array materialization at all.
     """
+    if num_hashes % bands != 0:
+        # a silent remainder means trailing signature lanes are computed
+        # but never banded — paying hash cost for recall that never
+        # arrives; surface the misconfiguration instead
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"{num_hashes % bands} trailing signature lanes would be "
+            "hashed but never banded"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, seed, hash_fn
@@ -696,7 +705,22 @@ def connected_components_star(
             ).distinct()
         )
     )
-    return labels
+    # Contract parity with connected_components: a node appearing ONLY in
+    # self-pairs (u == v) was removed by the u != v filter above but must
+    # still come back self-labeled.  The anti-join is one extra scan of
+    # ``pairs`` on a set that is empty for every pair generator in this
+    # repo (they all emit a < b) — the same scan discipline the
+    # propagation variant already accepts for its symmetric edge union.
+    selfies = (
+        pairs.filter(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("node"))
+        .distinct()
+    )
+    return labels.unionByName(
+        selfies.join(labels.select("node"), "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+    )
 
 
 def dedup_components(

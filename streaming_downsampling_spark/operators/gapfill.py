@@ -91,18 +91,33 @@ def time_spine(rollup_df: DataFrame, tier: str, key: str = "key") -> DataFrame:
             ).alias("day_sec"),
         )
     )
-    return days.select(
-        key,
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("day_sec"), F.col("s0")),
-                F.least(F.col("day_sec") + 86400 - step, F.col("s1")),
-                F.lit(step),
-            )
-        ).alias("tick_sec"),
-    ).select(
-        key,
-        from_sec("tick_sec").cast(ws_type).alias("window_start"),
+    # Each day slice emits the epoch-grid ticks {t : t ≡ 0 (mod step)}
+    # inside [day_sec, day_sec+86400) ∩ [s0, s1] — integer ceil/floor
+    # division (epochs are non-negative here) anchors every slice to the
+    # ABSOLUTE grid, so a step that does not divide 86400 (e.g. '7m')
+    # stays on-grid across day boundaries (day-2's first tick is NOT
+    # midnight), and a step longer than a day yields empty slices instead
+    # of a stop < start sequence error.  For steps that DO divide 86400
+    # this reduces exactly to greatest(day_sec, s0)..least(day_sec+86400-
+    # step, s1), the previous form.
+    start_tick = F.expr(
+        f"((greatest(day_sec, s0) + {step - 1}) div {step}) * {step}"
+    )
+    stop_tick = F.expr(f"(least(day_sec + 86399, s1) div {step}) * {step}")
+    return (
+        days.select(
+            key,
+            F.explode(
+                F.when(
+                    start_tick <= stop_tick,
+                    F.sequence(start_tick, stop_tick, F.lit(step)),
+                ).otherwise(F.expr("array()").cast("array<bigint>"))
+            ).alias("tick_sec"),
+        )
+        .select(
+            key,
+            from_sec("tick_sec").cast(ws_type).alias("window_start"),
+        )
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_BIN_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+from .rollup import tier_seconds
 
 
 def interval_join(
@@ -31,9 +31,10 @@ def interval_join(
     Containment is half-open: ``start <= ts < end``.  Output: all left
     columns + all right columns except the key (which would collide).
     """
-    if bin not in _BIN_SECONDS:
-        raise ValueError(f"bin must be one of {sorted(_BIN_SECONDS)}")
-    step = _BIN_SECONDS[bin]
+    # any '<N><unit>' duration — the shared tier parser, not a hardcoded
+    # subset, so the bin width can actually track the median interval
+    # length as the module docstring advises (e.g. '15 minutes')
+    step = tier_seconds(bin)
     to_bin = lambda c: (F.unix_timestamp(c) / step).cast("long")  # noqa: E731
     l = left.withColumn("_bin", to_bin(F.col(left_ts)))
     # every bin the interval [start, end) touches; end exactly on a bin

@@ -795,7 +795,6 @@ def q_stateful_tier(spark, sf_dir):
             ts_col="ts",
             value_col="value",
             order_col="event_id",
-            watermark="3650 days",
         ),
         "stateful_tier_mem",
     )
@@ -844,7 +843,6 @@ def q_stateful_last_n(spark, sf_dir):
             ts_col="ts",
             value_col="value",
             order_col="event_id",
-            watermark="3650 days",
         ),
         "stateful_lastn_mem",
     )

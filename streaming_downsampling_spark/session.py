@@ -42,6 +42,13 @@ def get_spark(
         # (~2500 groups/batch instead of ~250); 100k rows x 5 doubles ≈ 4 MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.session.timeZone", "UTC")
+        # _finish_stream sums numRowsDroppedByWatermark over recentProgress,
+        # whose ring buffer defaults to the last 100 entries — a tier drive
+        # over >400 source files (maxFilesPerTrigger=4) would silently
+        # under-report late_rows_dropped.  10k entries (~KBs each) covers
+        # any bounded drive this engine runs; unbounded production streams
+        # should export per-batch progress to a listener instead.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

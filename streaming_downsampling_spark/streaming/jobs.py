@@ -134,6 +134,11 @@ def build_stream_source(
                 {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
             ).alias("r")
         ).select("r.*")
+    if schema is None:
+        # file feeds CAN infer: one batch read of the directory, exactly
+        # what run_tier_stream does — instead of pyspark's opaque
+        # TypeError from readStream.schema(None)
+        schema = spark.read.format(source_format).load(source_dir).schema
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
@@ -232,7 +237,11 @@ def run_tier_stream(
 
 def _finish_stream(spark, q, log, stats) -> dict:
     q.awaitTermination()
-    # surface watermark-dropped rows into metrics
+    # surface watermark-dropped rows into metrics.  recentProgress is a
+    # ring buffer (spark.sql.streaming.numRecentProgressUpdates, raised to
+    # 10k in session.get_spark) — the gauge is exact for any drive within
+    # that many micro-batches; longer-lived production streams should
+    # accumulate via a StreamingQueryListener instead of this tail sum.
     dropped = 0
     for p in q.recentProgress:
         state = p.get("stateOperators") or []

@@ -146,7 +146,7 @@ def streaming_last_n(
     ts_col: str = "ts",
     value_col: str = "value",
     order_col: str | None = None,
-    watermark: str = "10 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Per-key buffer of the latest ``n`` points across micro-batches — the
     reference's live-monitor ``deque(maxlen=15)`` as a streaming operator.
@@ -157,6 +157,13 @@ def streaming_last_n(
     point lookup.  State is the bounded ring itself: O(n) per key, no timeout
     needed — the ring can always absorb a newer point; keys idle forever cost
     n cells.
+
+    ``watermark`` defaults to ``None`` — NO watermark.  NoTimeout state
+    needs none, and a watermark here is a trap: it is GLOBAL (max event
+    time across ALL keys minus the delay), so one fast key silently drops
+    a lagging key's rows before they reach that key's ring and its
+    dashboard goes stale forever.  Pass a delay only if you explicitly
+    want late arrivals discarded ring-wide.
     """
 
     def fold(
@@ -201,7 +208,12 @@ def streaming_last_n(
             }
         )
 
-    keyed = stream_df.withWatermark(ts_col, watermark).select(
+    src = (
+        stream_df.withWatermark(ts_col, watermark)
+        if watermark is not None
+        else stream_df
+    )
+    keyed = src.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias(ts_col),
         F.col(value_col).cast("double").alias(value_col),

@@ -59,6 +59,89 @@ def test_suite_schemas_match_live_queries(spark):
         assert live == _SUITE_SCHEMAS[m], f"{m}: schema drifted: {live}"
 
 
+def test_star_cc_keeps_self_pair_only_nodes(spark):
+    """connected_components_star promises 'every node appearing in pairs'
+    like the propagation variant, but its u != v edge filter used to drop
+    a node whose only appearance is a self-pair (x, x)."""
+    from streaming_downsampling_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    got_star = {
+        (r["node"], r["component"])
+        for r in connected_components_star(pairs).collect()
+    }
+    got_prop = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got_star == got_prop == {(1, 1), (2, 1), (3, 1), (7, 7)}
+
+
+def test_lsh_candidates_rejects_non_dividing_bands(spark):
+    """bands that don't divide num_hashes silently ignored the trailing
+    signature lanes (hash cost paid, recall never delivered) — now a
+    ValueError."""
+    from streaming_downsampling_spark.operators.dedup import lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide num_hashes"):
+        lsh_candidates(docs, num_hashes=16, bands=3)
+
+
+def test_time_spine_non_dividing_step_stays_on_grid(spark):
+    """A tier step that does not divide 86400 s (e.g. '7m') must stay on
+    the absolute epoch grid across day boundaries: the old per-day slicing
+    restarted day-2+ ticks at midnight (a multiple of 86400, not of the
+    step), so every real F.window bucket after day 1 missed the spine and
+    was replaced by interpolated phantoms."""
+    from streaming_downsampling_spark.operators.gapfill import time_spine
+    from streaming_downsampling_spark.operators.rollup import tier_seconds
+
+    step = tier_seconds("7m")
+    assert 86400 % step != 0
+    # two window starts on the 7m epoch grid, ~3 days apart
+    s0 = (1704067200 // step) * step  # 2024-01-01-ish, snapped to grid
+    s1 = s0 + 600 * step
+    df = spark.createDataFrame(
+        [("k", s0), ("k", s1)], "key string, sec long"
+    ).select("key", F.timestamp_seconds("sec").alias("window_start"))
+    ticks = [
+        r["t"]
+        for r in time_spine(df, "7m")
+        .select(F.unix_seconds("window_start").alias("t"))
+        .collect()
+    ]
+    assert len(ticks) == 601
+    assert all(t % step == 0 for t in ticks), "off-grid tick emitted"
+    assert min(ticks) == s0 and max(ticks) == s1
+    assert sorted(set(ticks)) == list(range(s0, s1 + 1, step))
+
+
+def test_time_spine_step_longer_than_day(spark):
+    """A step longer than one day used to build sequence(start, stop<start)
+    and throw; now day slices without a grid tick are simply empty."""
+    from streaming_downsampling_spark.operators.gapfill import time_spine
+
+    step = 2 * 86400
+    s0 = (1704067200 // step) * step
+    s1 = s0 + 5 * step
+    df = spark.createDataFrame(
+        [("k", s0), ("k", s1)], "key string, sec long"
+    ).select("key", F.timestamp_seconds("sec").alias("window_start"))
+    ticks = sorted(
+        r["t"]
+        for r in time_spine(df, "2d")
+        .select(F.unix_seconds("window_start").alias("t"))
+        .collect()
+    )
+    assert ticks == list(range(s0, s1 + 1, step))
+
+
 def test_hash_random_indices_gap_statistics():
     """A bare affine rank restricted to i < n is a lattice: by the
     three-distance theorem the gaps between the k selected positions take

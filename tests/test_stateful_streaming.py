@@ -80,6 +80,31 @@ def test_stateful_tier_first_last_across_batches(spark, tmp_path):
     assert c2["first_value"] == 40.0 and c2["last_value"] == 50.0
 
 
+def test_streaming_last_n_lagging_key_not_dropped(spark, tmp_path):
+    """A watermark on the ring is GLOBAL (max event time over ALL keys), so
+    a fast key used to push the watermark past a lagging key's event times
+    and Spark silently filtered the laggard's rows before its ring —
+    streaming_last_n therefore defaults to NO watermark (NoTimeout state
+    needs none).  Fast key 'a' runs hours ahead; lagging key 'b' delivers
+    batch-2 rows 3 h behind 'a' — they must still land in b's ring."""
+    base = pd.Timestamp("2024-01-01 00:00:00", tz="UTC")
+    b1 = [("a", base + pd.Timedelta(hours=5), 1, 1.0),
+          ("b", base, 1, 10.0)]
+    b2 = [("a", base + pd.Timedelta(hours=6), 2, 2.0),
+          ("b", base + pd.Timedelta(minutes=1), 2, 20.0),
+          ("b", base + pd.Timedelta(minutes=2), 3, 30.0)]
+    src, schema = _write_batches(tmp_path, [b1, b2])
+    out = _run_bounded(
+        spark, src, schema,
+        lambda s: streaming_last_n(s, n=15),
+        "lastn_lag_t1",
+    )
+    final = out.sort_values("n_seen").groupby("key").last().reset_index()
+    b = final[final["key"] == "b"].iloc[0]
+    assert b["n_seen"] == 3, "lagging key's late batch was dropped"
+    assert list(b["buf_values"]) == [10.0, 20.0, 30.0]
+
+
 def test_streaming_last_n_ring(spark, tmp_path):
     """The deque(maxlen=N) monitor buffer: ring spans batches, truncates to
     the latest N by timestamp, n_seen counts everything."""
@@ -89,7 +114,7 @@ def test_streaming_last_n_ring(spark, tmp_path):
     src, schema = _write_batches(tmp_path, [b1, b2])
     out = _run_bounded(
         spark, src, schema,
-        lambda s: streaming_last_n(s, n=15, watermark="3650 days"),
+        lambda s: streaming_last_n(s, n=15),
         "lastn_t1",
     )
     final = out.sort_values("n_seen").groupby("key").last().reset_index().iloc[0]
