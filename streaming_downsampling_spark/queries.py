@@ -723,6 +723,40 @@ SELECT event_type, rn, event_id, value FROM (
 """
 
 
+def _run_to_memory_sink(spark, out, name, mode="update", state_parts="16"):
+    """The memory-sink lifecycle shared by EVERY bounded-stream catalog
+    drive (it was copy-pasted into each stream query before): replace any
+    previous run of the same name, cap the state-store partition count for
+    the duration (fixed per checkpoint at first start; a fresh temp
+    checkpoint per call means the cap applies cleanly — 32+ partitions
+    just multiply tiny checkpoint files per micro-batch), run to
+    completion with a hard timeout, restore the conf, return the
+    emissions table."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    spark.catalog.dropTempView(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"bounded stream {name!r} did not finish within 600s — "
+                "refusing to read a partial memory sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
 def _drive_bounded_stream(spark, sf_dir, op, name, mode="update", state_parts="16"):
     """Run a streaming operator over the events table as a REAL bounded
     stream: 3 range-split files, one micro-batch each
@@ -746,34 +780,7 @@ def _drive_bounded_stream(spark, sf_dir, op, name, mode="update", state_parts="1
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    spark.catalog.dropTempView(name)
-    # state-store partition count is fixed per checkpoint at first start;
-    # a fresh temp checkpoint per call means this cap applies cleanly.  The
-    # input is one table — 32+ state partitions just multiply tiny
-    # checkpoint files per micro-batch
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
-        q = (
-            op(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                f"bounded stream {name!r} did not finish within 600s — "
-                "refusing to read a partial memory sink"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+    return _run_to_memory_sink(spark, op(stream), name, mode, state_parts)
 
 
 def q_stateful_tier(spark, sf_dir):
@@ -1213,30 +1220,14 @@ def q_stream_dedup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    name = "stream_dedup_mem"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    spark.catalog.dropTempView(name)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.withWatermark("ts", delay)
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id", "user_id", "event_type", "value")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("stream_dedup did not finish within 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+    out = (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory_sink(
+        spark, out, "stream_dedup_mem", "append", "8"
+    )
 
 
 SQL_STREAM_DEDUP = """
@@ -1313,42 +1304,26 @@ def q_stream_sessionize(spark, sf_dir):
     emitted).  Oracle: the gaps-and-islands SQL with the same finalization
     cutoff — sessions whose end <= max(ts) − delay."""
     ev, stream = _timed_batch_stream(spark, sf_dir, "sess")
-    name = "stream_sessionize_mem"
     gap = "30 minutes"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    spark.catalog.dropTempView(name)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.withWatermark("ts", "1 second")
-            .groupBy(F.col("user_id"), F.session_window("ts", gap))
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 6).alias("sum_value"),
-            )
-            .select(
-                "user_id",
-                F.col("session_window.start").alias("session_start"),
-                F.col("session_window.end").alias("session_end"),
-                "n_events",
-                "sum_value",
-            )
-            .filter(F.col("user_id") >= 0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("stream_sessionize did not finish within 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("user_id") >= 0)
+    )
+    return _run_to_memory_sink(
+        spark, out, "stream_sessionize_mem", "append", "8"
+    )
 
 
 SQL_STREAM_SESSIONIZE = (
@@ -1375,45 +1350,29 @@ def q_stream_rollup_1h(spark, sf_dir):
     batch hourly aggregate restricted to the finalized windows
     (window_end <= max(ts) − delay)."""
     ev, stream = _timed_batch_stream(spark, sf_dir, "roll1h")
-    name = "stream_rollup_1h_mem"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    spark.catalog.dropTempView(name)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.withWatermark("ts", "1 second")
-            .groupBy(F.col("event_type"), F.window("ts", "1 hour"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 6).alias("sum_value"),
-                F.min("value").alias("min_value"),
-                F.max("value").alias("max_value"),
-            )
-            .select(
-                "event_type",
-                F.col("window.start").alias("window_start"),
-                "n",
-                "sum_value",
-                _avg6("sum_value", "n").alias("avg_value"),
-                "min_value",
-                "max_value",
-            )
-            .filter(F.col("event_type") != "__sentinel__")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    out = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.col("event_type"), F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("stream_rollup_1h did not finish within 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n",
+            "sum_value",
+            _avg6("sum_value", "n").alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+        .filter(F.col("event_type") != "__sentinel__")
+    )
+    return _run_to_memory_sink(
+        spark, out, "stream_rollup_1h_mem", "append", "8"
+    )
 
 
 SQL_STREAM_ROLLUP_1H = """
