@@ -774,7 +774,29 @@ def _drive_bounded_stream(spark, sf_dir, op, name, mode="update", state_parts="1
     # stable digest (not PYTHONHASHSEED-randomized hash()) so repeated runs
     # reuse ONE dir per sf_dir instead of littering /tmp
     src = f"/tmp/sds_stream_src_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
-    ev.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(src)
+    # The three event-id terciles are written SEQUENTIALLY (one job each):
+    # the file source replays by modification time, and a single
+    # repartitionByRange(3) job writes all three files concurrently with
+    # near-identical mtimes — replay order was whichever task happened to
+    # finish first.  That luck held for rounds (task 0 usually lands
+    # first) until a host-load shift flipped it and the latest-ts file
+    # replayed FIRST, jumping any real watermark past the other batches
+    # and silently dropping them as late.  Sequential writes make replay
+    # deterministically ts-ascending (event_id order == ts order here)
+    # for EVERY op, watermarked or not.
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    (
+        ev.filter(F.col("event_id") < hi // 3)
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    )
+    (
+        ev.filter((F.col("event_id") >= hi // 3) & (F.col("event_id") < 2 * hi // 3))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    (
+        ev.filter(F.col("event_id") >= 2 * hi // 3)
+        .coalesce(1).write.mode("append").parquet(src)
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -802,6 +824,11 @@ def q_stateful_tier(spark, sf_dir):
             ts_col="ts",
             value_col="value",
             order_col="event_id",
+            # never-expiring replay per _drive_bounded_stream's contract:
+            # the oracle is the FULL batch aggregate, so no row may be
+            # watermark-dropped regardless of batch replay order (the
+            # operator's 10-minute default is for live deployments)
+            watermark="3650 days",
         ),
         "stateful_tier_mem",
     )
