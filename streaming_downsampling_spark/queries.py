@@ -2240,7 +2240,12 @@ def q_model_downsample(spark, sf_dir):
         F.md5(F.to_json(r6("pooled_approx"))).alias("pooled_md5"),
         F.md5(F.to_json(r6("detail_values"))).alias("detail_md5"),
         F.md5(F.to_json("detail_indices")).alias("indices_md5"),
-        F.round(F.element_at("pooled_approx", 1), 6).alias("first_pooled"),
+        # NULL-on-empty (see model parity queries): db4's symmetric
+        # extension keeps pooled_approx non-empty for any n >= 1, but the
+        # guard costs nothing and the column contract is the same
+        F.round(F.try_element_at("pooled_approx", F.lit(1)), 6).alias(
+            "first_pooled"
+        ),
         F.round(
             F.aggregate("detail_values", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("detail_sum"),
@@ -2312,8 +2317,17 @@ def q_model_haar_parity(spark, sf_dir):
         F.round(
             F.aggregate("pooled_approx", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("pooled_sum"),
-        F.round(F.element_at("pooled_approx", 1), 6).alias("pooled_first"),
-        F.round(F.element_at("pooled_approx", -1), 6).alias("pooled_last"),
+        # try_element_at, not element_at: a tiny group can pool to an EMPTY
+        # approximation (haar: a 2-point group's 1-coefficient cA under
+        # factor-2 floor-division pooling — hit at sf0.001 group sizes) and
+        # strict element_at raises on it; the oracle's LEFT JOIN yields
+        # NULL for exactly those windows, so NULL-on-empty matches
+        F.round(F.try_element_at("pooled_approx", F.lit(1)), 6).alias(
+            "pooled_first"
+        ),
+        F.round(F.try_element_at("pooled_approx", F.lit(-1)), 6).alias(
+            "pooled_last"
+        ),
         "detail_values",
     ).localCheckpoint(eager=True)
     # relational Haar cD multiset from the same raw rows (the arithmetic the
@@ -2530,8 +2544,17 @@ def q_model_db4_parity(spark, sf_dir):
         F.round(
             F.aggregate("pooled_approx", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("pooled_sum"),
-        F.round(F.element_at("pooled_approx", 1), 6).alias("pooled_first"),
-        F.round(F.element_at("pooled_approx", -1), 6).alias("pooled_last"),
+        # try_element_at, not element_at: a tiny group can pool to an EMPTY
+        # approximation (haar: a 2-point group's 1-coefficient cA under
+        # factor-2 floor-division pooling — hit at sf0.001 group sizes) and
+        # strict element_at raises on it; the oracle's LEFT JOIN yields
+        # NULL for exactly those windows, so NULL-on-empty matches
+        F.round(F.try_element_at("pooled_approx", F.lit(1)), 6).alias(
+            "pooled_first"
+        ),
+        F.round(F.try_element_at("pooled_approx", F.lit(-1)), 6).alias(
+            "pooled_last"
+        ),
         "detail_values",
     ).localCheckpoint(eager=True)
     clean = F.when(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -396,3 +397,53 @@ def test_run_tier_stream_kafka_requires_schema(spark, tmp_path):
             wh,
             source_format="kafka",
         )
+
+
+def test_model_haar_parity_tiny_groups_empty_pooled(spark, tmp_path):
+    """A 2-point (key, day) group under haar has a 1-coefficient cA whose
+    factor-2 floor-division pooling is EMPTY; strict ``element_at`` raised
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on it (hit by the sf0.001 gate, whose
+    group sizes go down to 2), while the DuckDB oracle's LEFT JOIN yields
+    NULL for exactly those windows.  Pins the ``try_element_at`` fix:
+    the query runs, reports n_pooled=0 / NULL endpoints for the tiny
+    group, and still hash-matches the oracle on the same data."""
+    import duckdb
+
+    from streaming_downsampling_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        # one 2-point group (empty pooled under haar)
+        (1, "click", 1.0, "2024-01-01 00:10:00"),
+        (2, "click", 3.0, "2024-01-01 00:20:00"),
+        # one healthy group
+        *[
+            (10 + i, "view", float(i), f"2024-01-02 00:{i:02d}:00")
+            for i in range(8)
+        ],
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = QUERIES["model_haar_parity"](spark, str(tmp_path)).toPandas()
+    tiny = out[out["key"] == "click"].iloc[0]
+    assert tiny["n"] == 2 and tiny["n_pooled"] == 0
+    assert pd.isna(tiny["pooled_first"]) and pd.isna(tiny["pooled_last"])
+    healthy = out[out["key"] == "view"].iloc[0]
+    assert healthy["n_pooled"] > 0 and not pd.isna(healthy["pooled_first"])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(ORACLES["model_haar_parity"]).df()
+    con.close()
+    key = ["key", "window_start"]
+    a = out.sort_values(key).reset_index(drop=True)[sorted(out.columns)]
+    b = oracle.sort_values(key).reset_index(drop=True)[sorted(oracle.columns)]
+    assert list(a.columns) == list(b.columns) and len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].astype(str).tolist(), b[c].astype(str).tolist()
+        assert av == bv, f"column {c}: {av} != {bv}"
