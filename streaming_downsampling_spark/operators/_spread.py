@@ -34,12 +34,15 @@ def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
     (treat as wide) is returned without any filesystem round-trips.
     """
     sizes = []
+    paths = []
     for uri in files:
         p = urlparse(uri)
         if p.scheme not in ("", "file"):
             return None
         try:
-            sizes.append(os.path.getsize(unquote(p.path)))
+            path = unquote(p.path)
+            sizes.append(os.path.getsize(path))
+            paths.append(path)
         except OSError:
             return None
     if not sizes:
@@ -54,7 +57,25 @@ def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
     cores = df.sparkSession.sparkContext.defaultParallelism
     padded = sum(sizes) + open_cost * len(sizes)
     split = min(max_part, max(open_cost, padded // max(cores, 1)))
-    return max(1, -(-padded // max(split, 1)))
+    n = max(1, -(-padded // max(split, 1)))
+    # Byte-ranges overstate REAL parallelism for parquet: a row group is
+    # the atomic scan unit (each goes whole to the split holding its
+    # midpoint), so a few-file scan whose files hold one big row group each
+    # runs on len(files) tasks no matter how many nominal splits exist.
+    # When the file count alone can't guarantee >= cores row groups, read
+    # the footers (cheap: one local metadata read per file, only ever for
+    # < cores files) and cap the estimate at the true row-group count.
+    if n > len(paths) and len(paths) < cores and all(
+        p.endswith(".parquet") for p in paths
+    ):
+        try:
+            import pyarrow.parquet as pq
+
+            rg = sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths)
+            n = min(n, max(rg, 1))
+        except Exception:
+            pass
+    return n
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -10,6 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._spread import spread
+
+import string
+
+# every char Java's default \s or [A-Za-z0-9] matches — the delete set for
+# the translate()-based "other char" counts
+_ALNUM_WS = string.ascii_letters + string.digits + " \t\n\x0b\f\r"
+
 # Tiny public stopword marker sets per language (deterministic heuristic —
 # the point is the operator shape, not linguistic accuracy).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -26,20 +34,29 @@ def token_count(
     """Whitespace token count + a BPE-ish subword estimate.
 
     ``n_tokens``: non-empty whitespace-separated tokens.
-    ``n_subwords``: alnum runs + punctuation marks (regexp) — a cheap proxy
-    for BPE token count that needs no vocabulary.
+    ``n_subwords``: alnum runs + punctuation marks — a cheap proxy for BPE
+    token count that needs no vocabulary.
+
+    Counting never materializes a token ARRAY: a non-empty whitespace token
+    IS a maximal ``\\S+`` run and an alnum run IS a ``[A-Za-z0-9]+`` match
+    (``regexp_count``), and the punctuation-mark count is
+    ``length(translate(text, <alnum+ws>, ''))`` — a per-char table lookup.
+    The single-char-class regex forms were measured an order of magnitude
+    slower here (one regex match per character); Java's default ``\\s`` is
+    exactly the six chars enumerated in ``_ALNUM_WS``, so the translate
+    count equals the old ``regexp_replace('[A-Za-z0-9\\s]', '')`` length
+    char for char (asserted by the unchanged oracle).
     """
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    t = F.col(text_col)
+    subwords = F.regexp_count(t, F.lit(r"[A-Za-z0-9]+")) + F.length(
+        F.translate(t, _ALNUM_WS, "")
     )
-    subwords = F.size(
-        F.filter(
-            F.split(F.col(text_col), r"[^A-Za-z0-9]+"), lambda x: x != F.lit("")
-        )
-    ) + F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
-    return df.select(
+    # spread before the per-row regex work: a small single-file (single
+    # row-group) scan otherwise pins the whole count to one task; no-op at
+    # real scale (see _spread)
+    return spread(df).select(
         id_col,
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count(t, F.lit(r"\S+")).cast("long").alias("n_tokens"),
         subwords.cast("long").alias("n_subwords"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
@@ -59,8 +76,10 @@ def quality_score(
     words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
     n_words = F.size(words)
     n_chars = F.length(t)
-    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct_chars = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", "")) + F.lit(0)
+    # member-char counts via translate() delete (per-char table lookup)
+    # instead of regex: length - length(text minus those chars)
+    alpha_chars = n_chars - F.length(F.translate(t, string.ascii_letters, ""))
+    punct_chars = n_chars - F.length(F.translate(t, ".,;:!?", "")) + F.lit(0)
     stop_hits = F.size(
         F.filter(
             words,
@@ -84,7 +103,7 @@ def quality_score(
         + F.greatest(F.lit(1.0) - punct_ratio * F.lit(10.0), F.lit(0.0)) * F.lit(0.2),
         6,
     )
-    return df.select(
+    return spread(df).select(
         id_col,
         n_words.cast("long").alias("n_words"),
         mean_word_len.alias("mean_word_len"),
@@ -127,7 +146,7 @@ def lang_guess(
         .otherwise(0),
     )[0]
     guess = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.select(
+    return spread(df).select(
         id_col, guess.alias("lang_guess"), best["hits"].cast("long").alias("hits")
     )
 
@@ -138,7 +157,7 @@ def fingerprint(
     """Document fingerprint: md5 of the whitespace-normalized lowercase text
     (portable across engines) plus a 64-bit xxhash for cheap joins."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(
+    return spread(df).select(
         id_col,
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),

@@ -246,10 +246,13 @@ def q_cumshare_select(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
-    wall = Window.partitionBy("event_type")
+    # per-type totals as a map-side-combined aggregate broadcast back in,
+    # instead of a second whole-table window pass (the partitionBy-only
+    # window re-buffered every row per partition just to attach one scalar)
+    tot = ev.groupBy("event_type").agg(F.sum("value").alias("total"))
     sel = (
         ev.withColumn("cum", F.sum("value").over(w))
-        .withColumn("total", F.sum("value").over(wall))
+        .join(F.broadcast(tot), "event_type")
         .filter(F.col("cum") <= 0.99 * F.col("total"))
     )
     return sel.groupBy("event_type").agg(
@@ -285,16 +288,22 @@ def q_haar_threshold(spark, sf_dir):
     ).agg(_avg6_agg("value").alias("v"))
     wn = Window.partitionBy("user_id").orderBy("d")
     numbered = daily.withColumn("rn", F.row_number().over(wn).cast("long"))
+    # Pairing via lead() in the SAME (user_id, order d) window instead of a
+    # groupBy(user_id, pair_id): v1 is the odd-rn member (min rn of the
+    # pair), v2 = lead(v) is its even-rn partner, and a trailing unpaired
+    # day (the old c == 2 filter) is exactly lead IS NULL — value-identical,
+    # but the pair assembly now rides the partitioning the row_number window
+    # already established, so one whole Exchange (and its hash aggregate)
+    # disappears from the plan (guide §2.4: operations keyed the same way
+    # share one exchange).
     pairs = (
-        numbered.withColumn("pair_id", F.expr("(rn - 1) div 2"))
-        .groupBy("user_id", "pair_id")
-        .agg(
-            F.min_by("v", "rn").alias("v1"),
-            F.max_by("v", "rn").alias("v2"),
-            F.count(F.lit(1)).alias("c"),
+        numbered.withColumn("v2", F.lead("v").over(wn))
+        .filter((F.col("rn") % 2 == 1) & F.col("v2").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(rn - 1) div 2").alias("pair_id"),
+            F.round((F.col("v") - F.col("v2")) / F.sqrt(F.lit(2.0)), 6).alias("cd"),
         )
-        .filter(F.col("c") == 2)
-        .withColumn("cd", F.round((F.col("v1") - F.col("v2")) / F.sqrt(F.lit(2.0)), 6))
     )
     wr = Window.partitionBy("user_id").orderBy(
         F.abs("cd").desc(), F.col("pair_id").asc()
@@ -419,29 +428,59 @@ FROM events GROUP BY 1
 """
 
 
-def q_asof_enrich(spark, sf_dir):
-    """As-of join: each event enriched with the most recent *completed*
-    hour's average for its type (backward as-of on the hour's end time;
-    events in a type's first hour get nulls).  One shuffle union-sort —
-    no range cross-join."""
+def _asof_hourly_enriched(spark, sf_dir):
+    """Shared body of the two as-of queries: every event matched to the
+    latest completed hourly rollup row (``h_end <= ts``) for its type.
+
+    Problem knowledge the optimizer cannot see (guide §8): ``h_end`` values
+    are hour-aligned, and every event's ts sits inside its own hour
+    ``[hs, hs+1h)``, so ``h_end <= ts  ⟺  h_end <= hs`` — the as-of match
+    depends only on (event_type, hs).  The backward as-of therefore runs on
+    the TINY hourly tier (left = each hour-with-data, right = the rollup
+    rows) and the result broadcast-equi-joins back to the raw table on
+    (event_type, date_trunc hour).  Before: the raw table union-sorted into
+    a window partitioned by event_type — 5 distinct keys, so the whole
+    table's sort ran on <=5 tasks regardless of cluster size.  After: the
+    only full-table shuffles are the hourly aggregation (map-side combined)
+    and none — the join back is a broadcast hash join.  Same asof_join
+    operator, same semantics, hash-identical result (oracle-checked at
+    sf0.001/0.01/0.1).
+    """
     ev = _t(spark, sf_dir, "events")
     hourly = rollup(
         ev, "1h", key_col="event_type", ts_col="ts", value_col="value", order_col=None
     ).select(
         F.col("key").alias("event_type"),
+        F.col("window_start").alias("hs"),
         F.col("window_end").alias("h_end"),
         _avg6("sum_value", "n_points").alias("prev_hour_avg"),
     )
-    out = asof_join(
-        ev.select("event_id", "event_type", "ts"),
-        hourly,
+    matched = asof_join(
+        hourly.select("event_type", "hs"),
+        hourly.select("event_type", "h_end", "prev_hour_avg"),
         key_col="event_type",
-        left_ts="ts",
+        left_ts="hs",
         right_ts="h_end",
         right_cols=["prev_hour_avg"],
         suffix="",
     )
-    return out.select("event_id", "event_type", "prev_hour_avg", F.col("h_end"))
+    left = ev.select("event_id", "event_type", "ts")
+    return left.join(
+        F.broadcast(matched),
+        (left["event_type"] == matched["event_type"])
+        & (F.date_trunc("hour", left["ts"]) == matched["hs"]),
+        "left",
+    ).drop(matched["event_type"])
+
+
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each event enriched with the most recent *completed*
+    hour's average for its type (backward as-of on the hour's end time;
+    events in a type's first hour get nulls).  The as-of runs on the hourly
+    tier and broadcast-joins back — see :func:`_asof_hourly_enriched`."""
+    return _asof_hourly_enriched(spark, sf_dir).select(
+        "event_id", "event_type", "prev_hour_avg", F.col("h_end")
+    )
 
 
 SQL_ASOF = """
@@ -460,26 +499,21 @@ def q_asof_tolerance(spark, sf_dir):
     """As-of enrichment with a staleness bound (``merge_asof`` tolerance):
     matches older than 2 hours before the event become nulls — the pattern
     that stops a dead dimension feed from silently enriching with stale
-    state forever."""
-    ev = _t(spark, sf_dir, "events")
-    hourly = rollup(
-        ev, "1h", key_col="event_type", ts_col="ts", value_col="value", order_col=None
-    ).select(
-        F.col("key").alias("event_type"),
-        F.col("window_end").alias("h_end"),
-        _avg6("sum_value", "n_points").alias("prev_hour_avg"),
+    state forever.
+
+    Same tier-level as-of + broadcast join-back as :func:`q_asof_enrich`;
+    the tolerance mask compares the matched ``h_end`` against each event's
+    OWN ts (not its hour), so it is applied per event after the join-back —
+    the identical ``h_end >= ts - tolerance`` predicate ``asof_join``'s
+    ``tolerance=`` option evaluates."""
+    out = _asof_hourly_enriched(spark, sf_dir)
+    fresh = F.col("h_end") >= F.col("ts") - F.expr("INTERVAL 2 hours")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.when(fresh, F.col("prev_hour_avg")).alias("prev_hour_avg"),
+        F.when(fresh, F.col("h_end")).alias("h_end"),
     )
-    out = asof_join(
-        ev.select("event_id", "event_type", "ts"),
-        hourly,
-        key_col="event_type",
-        left_ts="ts",
-        right_ts="h_end",
-        right_cols=["prev_hour_avg"],
-        suffix="",
-        tolerance="2 hours",
-    )
-    return out.select("event_id", "event_type", "prev_hour_avg", F.col("h_end"))
 
 
 SQL_ASOF_TOLERANCE = """
@@ -1120,6 +1154,15 @@ def q_ewma_smooth(spark, sf_dir):
         .rowsBetween(-63, 0)
     )
     arr = F.reverse(F.collect_list("value").over(w))
+    # The lag weights as ONE literal double array instead of an interpreted
+    # pow(0.5, i+1) call per array element per row (64 pow() evaluations per
+    # output row — measured 25% of the query).  2^-k is exact in IEEE-754,
+    # so the Python-computed literals equal the old pow values bit-for-bit
+    # and the fold is unchanged term for term (oracle re-verified).  A
+    # 64-lag-columns formulation was also measured and is ~2x SLOWER than
+    # the array fold (64 independent window frames beat per-element pow but
+    # lose to one collect_list).
+    weights = F.lit([0.5 ** (j + 1) for j in range(64)])
     return (
         ev.withColumn("arr", arr)
         .select(
@@ -1128,7 +1171,7 @@ def q_ewma_smooth(spark, sf_dir):
             F.round(
                 F.aggregate(
                     F.transform(
-                        "arr", lambda x, i: x * F.pow(F.lit(0.5), i + 1)
+                        "arr", lambda x, i: x * F.element_at(weights, i + 1)
                     ),
                     F.lit(0.0),
                     lambda a, x: a + x,
@@ -1674,20 +1717,35 @@ GROUP BY 1, 2
 
 def q_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
-    Customer (small) broadcasts; orders⋈lineitem shuffles on the join key."""
+
+    Aggregate-before-join (guide §2.3): per-order revenue is summed on
+    lineitem FIRST (map-side partial aggregation collapses ~4 lines/order
+    before anything shuffles), then joined to orders — so the join and its
+    exchanges carry one row per order instead of one per line.  Legal
+    because ``o_orderkey`` is the orders key (the old plan's join could
+    never duplicate or drop a lineitem row per order) and the customer leg
+    only *filters* orders (no customer column survives), so it becomes a
+    broadcast LEFT SEMI join that shuffles nothing.  Oracle unchanged;
+    hash-equality re-proven at sf0.001/0.01/0.1."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .groupBy("o_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+    per_order = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r"),
         )
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("_r"), 4).alias("revenue"))
     )
+    od_kept = od.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cu.select("c_custkey")),
+        od.o_custkey == F.col("c_custkey"),
+        "leftsemi",
+    )
+    rev = per_order.join(
+        od_kept, per_order.l_orderkey == od_kept.o_orderkey
+    ).select("o_orderkey", "revenue")
     return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
 
