@@ -77,13 +77,10 @@ def _fold63(x: np.ndarray) -> np.ndarray:
     return (y & _MOD) + (y >> np.uint64(63))
 
 
-def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
-    """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs.
-
-    Computes ``sum((t * 1000003 + v) mod (2^63-1)) mod (2^63-1)`` entirely in
-    uint64 numpy: the multiply is split 32/32 so every intermediate fits, and
-    p = 2^63-1 is Mersenne so reduction is a shift-add fold.
-    """
+def _checksum_terms(ts_us: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Per-point terms ``(t * 1000003 + v) mod (2^63-1)`` entirely in uint64
+    numpy: the multiply is split 32/32 so every intermediate fits, and
+    p = 2^63-1 is Mersenne so reduction is a shift-add fold."""
     v = _fold63(np.ascontiguousarray(values, dtype=np.float64).view(np.uint64))
     ts_i = np.asarray(ts_us, dtype=np.int64)
     t = ts_i.astype(np.uint64)
@@ -98,7 +95,13 @@ def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
     # (hi * 2^32) mod p: shift the folded hi by 32 with wraparound at bit 63
     hi = _fold63(hi)
     hi32 = _fold63(((hi << np.uint64(32)) & _MOD) + (hi >> np.uint64(31)))
-    term = _fold63(_fold63(hi32 + _fold63(lo)) + v)
+    return _fold63(_fold63(hi32 + _fold63(lo)) + v)
+
+
+def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
+    """Order-independent 63-bit checksum over (ts, value-bitpattern) pairs:
+    exact mod-(2^63-1) sum of the per-point terms."""
+    term = _checksum_terms(ts_us, values)
     # tree reduction: each pairwise sum of two <2^63 terms fits uint64, then
     # folds back under 2^63 — exact mod-p sum in log2(n) vectorized passes
     while len(term) > 1:
@@ -107,6 +110,32 @@ def _checksum(ts_us: np.ndarray, values: np.ndarray) -> int:
         term = _fold63(term[0::2] + term[1::2])
     out = int(term[0]) if len(term) else 0
     return out % int(_MOD)
+
+
+def _checksum_batched(
+    ts_us: np.ndarray, values: np.ndarray, bounds: np.ndarray
+) -> np.ndarray:
+    """Per-chunk :func:`_checksum` over ``[bounds[g], bounds[g+1])`` slices
+    in one vectorized pass: the <2^63 terms are split 32/32 and
+    segment-summed exactly (each half-sum of n < 2^31 points stays under
+    2^63), then recombined mod p — identical to the per-chunk tree
+    reduction, which also computes the exact mod-p sum."""
+    term = _checksum_terms(ts_us, values)
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    counts = np.asarray(bounds[1:], dtype=np.int64) - starts
+    if len(term) == 0:
+        return np.zeros(len(starts), dtype=np.uint64)
+    # reduceat quirk: an empty group returns term[start] (and a trailing
+    # empty group would index past the end) — clip the starts and zero the
+    # empty groups afterwards, matching _checksum([]) == 0
+    starts_c = np.minimum(starts, len(term) - 1)
+    lo = np.add.reduceat(term & np.uint64(0xFFFFFFFF), starts_c)
+    hi = np.add.reduceat(term >> np.uint64(32), starts_c)
+    hi = _fold63(hi)
+    hi32 = _fold63(((hi << np.uint64(32)) & _MOD) + (hi >> np.uint64(31)))
+    out = _fold63(_fold63(hi32 + _fold63(lo)))
+    out = np.where(out == _MOD, np.uint64(0), out)
+    return np.where(counts == 0, np.uint64(0), out)
 
 
 def compress_chunks(
@@ -131,32 +160,38 @@ def encode_frame_fn():
 
     def encode_frame(body: pd.DataFrame) -> pd.DataFrame:
         """Encode every (key, window) run in a sorted frame — numpy boundary
-        splits (the shared group_bounds walk), no per-group pandas
-        objects."""
+        splits (the shared group_bounds walk), batched encoders (ONE
+        bit-packing pass per stream for the whole frame, see
+        ``gorilla.encode_timestamps_batched``), no per-group pandas objects
+        and no per-group Python beyond the final blob-slice list."""
         from ._groupmap import group_bounds
 
         bounds, keys, ws = group_bounds(body)
         ts_us = _ts_us(body["_ts"])
         vals = body["_value"].to_numpy(dtype=np.float64)
-        rows = []
-        for i in range(len(bounds) - 1):
-            a, b = bounds[i], bounds[i + 1]
-            t, v = ts_us[a:b], vals[a:b]
-            tb, vb = G.encode_chunk(t, v)
-            rows.append(
-                {
-                    "key": keys[a],
-                    "window_start": ws[a],
-                    "n_points": b - a,
-                    "first_ts_us": int(t[0]),
-                    "ts_blob": tb,
-                    "val_blob": vb,
-                    "checksum": _checksum(t, v),
-                    "raw_bytes": (b - a) * 16,
-                    "enc_bytes": len(tb) + len(vb),
-                }
-            )
-        return pd.DataFrame(rows)
+        ts_blobs = G.encode_timestamps_batched(ts_us, bounds)
+        val_blobs = G.encode_values_batched(vals, bounds)
+        n = np.diff(bounds)
+        starts = bounds[:-1]
+        return pd.DataFrame(
+            {
+                "key": keys[starts],
+                "window_start": ws[starts],
+                "n_points": n.astype(np.int32),
+                "first_ts_us": ts_us[starts],
+                "ts_blob": ts_blobs,
+                "val_blob": val_blobs,
+                "checksum": _checksum_batched(ts_us, vals, bounds).astype(
+                    np.int64
+                ),
+                "raw_bytes": n * 16,
+                "enc_bytes": np.fromiter(
+                    (len(t) + len(v) for t, v in zip(ts_blobs, val_blobs)),
+                    dtype=np.int64,
+                    count=len(n),
+                ),
+            }
+        )
 
     return encode_frame
 
@@ -168,19 +203,34 @@ def decompress_chunks(chunks: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                ts, vals = G.decode_chunk(bytes(row.ts_blob), bytes(row.val_blob))
-                if _checksum(ts, vals) != row.checksum:
-                    raise ValueError(
-                        f"chunk checksum mismatch for key={row.key} "
-                        f"window_start={row.window_start}"
-                    )
-                frames.append(
-                    pd.DataFrame({"key": row.key, "ts_us": ts, "value": vals})
+            if not len(pdf):
+                yield pd.DataFrame({"key": [], "ts_us": [], "value": []})
+                continue
+            # whole-batch vectorized decode (one pass per stream over every
+            # chunk's blob) + one batched checksum verification — the
+            # per-chunk decode calls and per-chunk DataFrames they replace
+            # were ~0.8 ms/chunk of numpy-dispatch and constructor overhead
+            ts_blobs = [bytes(b) for b in pdf["ts_blob"]]
+            val_blobs = [bytes(b) for b in pdf["val_blob"]]
+            ts_all, n_ts = G.decode_timestamps_batched(ts_blobs)
+            val_all, n_val = G.decode_values_batched(val_blobs)
+            bounds = np.concatenate([[0], np.cumsum(n_ts)])
+            ok = (n_ts == n_val) & (
+                _checksum_batched(ts_all, val_all, bounds)
+                == pdf["checksum"].to_numpy().astype(np.uint64)
+            )
+            if not ok.all():
+                i = int(np.flatnonzero(~ok)[0])
+                raise ValueError(
+                    f"chunk checksum mismatch for key={pdf['key'].iloc[i]} "
+                    f"window_start={pdf['window_start'].iloc[i]}"
                 )
-            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-                {"key": [], "ts_us": [], "value": []}
+            yield pd.DataFrame(
+                {
+                    "key": np.repeat(pdf["key"].to_numpy(), n_ts),
+                    "ts_us": ts_all,
+                    "value": val_all,
+                }
             )
 
     return chunks.mapInPandas(kernel, POINT_SCHEMA)

@@ -125,3 +125,48 @@ def test_decode_values_legacy_window_reuse():
     blob = w.getvalue()
     got = g.decode_values(blob)
     assert np.array_equal(got.view(np.uint64), bits)
+
+
+def test_batched_encode_decode_equals_per_chunk():
+    """The batched (whole-frame) encoders/decoders are byte- and
+    bit-identical to the per-chunk ones on randomized group sets covering
+    tiny chunks, constant runs, pre-epoch jumps and raw-64 dods."""
+    rng = np.random.default_rng(123)
+    sizes = np.concatenate([[1, 2, 3, 4], rng.integers(1, 400, size=150)])
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    n = bounds[-1]
+    ts = np.cumsum(rng.integers(1, 10_000_000, size=n)).astype(np.int64)
+    ts[40:50] -= 10**15  # giant jumps -> raw 64-bit dod bucket
+    vals = np.round(rng.normal(100.0, 30.0, size=n), 2)
+    vals[::13] = vals[1]  # constant runs -> '0' records
+    vals[7] = float("inf")
+    vals[9] = -0.0
+    tb = g.encode_timestamps_batched(ts, bounds)
+    vb = g.encode_values_batched(vals, bounds)
+    for i in range(len(sizes)):
+        a, b = bounds[i], bounds[i + 1]
+        assert tb[i] == g.encode_timestamps(ts[a:b])
+        assert vb[i] == g.encode_values(vals[a:b])
+    ts_d, n_t = g.decode_timestamps_batched(tb)
+    v_d, n_v = g.decode_values_batched(vb)
+    np.testing.assert_array_equal(n_t, sizes)
+    np.testing.assert_array_equal(n_v, sizes)
+    np.testing.assert_array_equal(ts_d, ts)
+    np.testing.assert_array_equal(v_d.view(np.uint64), vals.view(np.uint64))
+
+
+def test_batched_checksum_equals_per_chunk():
+    from streaming_downsampling_spark.operators.compress import (
+        _checksum,
+        _checksum_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    sizes = np.array([1, 2, 7, 100, 3])
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    ts = rng.integers(-(10**15), 10**15, size=bounds[-1]).astype(np.int64)
+    vals = rng.normal(size=bounds[-1])
+    got = _checksum_batched(ts, vals, bounds)
+    for i in range(len(sizes)):
+        a, b = bounds[i], bounds[i + 1]
+        assert int(got[i]) == _checksum(ts[a:b], vals[a:b])
