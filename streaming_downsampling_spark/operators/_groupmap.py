@@ -91,7 +91,19 @@ def apply_sorted(
     schema,
 ) -> DataFrame:
     """Run ``frame_fn`` over a :func:`prepare_sorted` DataFrame with the
-    cross-batch group-carry kernel."""
+    cross-batch group-carry kernel.
+
+    ``mapInPandas`` ships every column of its input across the Arrow
+    boundary — Spark cannot see which ones the Python function reads (guide
+    §4.1) — so a kernel that declares ``frame_fn.needed_cols`` gets the
+    prepared frame projected down to those columns first (a narrow op:
+    partitioning and in-partition order are untouched).  The model kernel
+    reads neither ``_ts`` nor ``_ord`` and the chunk encoder skips ``_ord``;
+    at 4M rows/branch that keeps tens of MB per branch off the JVM→Python
+    hop when several kernels share one persisted prepare_sorted frame."""
+    cols = getattr(frame_fn, "needed_cols", None)
+    if cols:
+        prepared = prepared.select(*cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for body in iter_whole_group_frames(batches):

@@ -193,6 +193,9 @@ def encode_frame_fn():
             }
         )
 
+    # the encoder reads ts and value but never _ord (the sort it bought is
+    # already established) — let apply_sorted prune it off the Arrow hop
+    encode_frame.needed_cols = ["key", "window_start", "_ts", "_value"]
     return encode_frame
 
 

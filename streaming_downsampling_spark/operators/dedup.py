@@ -92,11 +92,24 @@ def shingles(
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    # The word array is materialized in its OWN projection: the gram lambda
+    # below references it n times per element, and higher-order functions
+    # are interpreted — an inlined words expression would re-split the text
+    # n times per gram (CollapseProject keeps a non-cheap multi-referenced
+    # alias un-inlined).
+    wide = spread(df).select(F.col(id_col), words.alias("_w"))
+    w = F.col("_w")
+    # Each gram is concat_ws over n 0-based get() lookups instead of
+    # array_join(slice(...)): slice allocates a fresh n-element array per
+    # gram and was measured 4x the cost of the whole word split; get()
+    # returns NULL past the end (never an ANSI error) and concat_ws skips
+    # NULLs, so short tails ("w1", "w1 w2") and the empty-text "" shingle
+    # come out byte-identical to the slice+join form.
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+        idx, lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])
     )
-    return spread(df).select(
+    return wide.select(
         id_col, F.explode(F.array_distinct(grams)).alias("shingle")
     )
 

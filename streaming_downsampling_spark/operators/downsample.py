@@ -237,6 +237,8 @@ def downsample_metrics_multi(
                 )
         return pd.DataFrame(rows)
 
+    # metrics read only the value series (group_key comes from `key`)
+    frame_fn.needed_cols = ["key", "window_start", "_value"]
     return sorted_group_map(
         df, window, key_col, ts_col, value_col, order_col, frame_fn, METRICS_SCHEMA
     )
@@ -331,6 +333,9 @@ def model_frame_fn(
             }
         )
 
+    # the model kernel never reads _ts/_ord — let apply_sorted prune them
+    # off the Arrow hop (the sort they established is already done)
+    frame_fn.needed_cols = ["key", "window_start", "_value"]
     return frame_fn
 
 
@@ -422,6 +427,7 @@ def attention_scores(
             )
         return pd.concat(frames, ignore_index=True)
 
+    frame_fn.needed_cols = ["key", "window_start", "_value"]
     return sorted_group_map(
         df, window, key_col, ts_col, value_col, order_col, frame_fn, ATTN_SCHEMA
     )
