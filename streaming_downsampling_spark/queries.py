@@ -246,13 +246,14 @@ def q_cumshare_select(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
-    # per-type totals as a map-side-combined aggregate broadcast back in,
-    # instead of a second whole-table window pass (the partitionBy-only
-    # window re-buffered every row per partition just to attach one scalar)
-    tot = ev.groupBy("event_type").agg(F.sum("value").alias("total"))
+    # NB: replacing this partitionBy-only window with a groupBy total
+    # broadcast back in was A/B-measured: neutral at sf1, 19% SLOWER at
+    # sf0.1 (the extra scan + broadcast build outweighs the saved window
+    # buffer pass, which shares the running-sum window's sort) — kept as is.
+    wall = Window.partitionBy("event_type")
     sel = (
         ev.withColumn("cum", F.sum("value").over(w))
-        .join(F.broadcast(tot), "event_type")
+        .withColumn("total", F.sum("value").over(wall))
         .filter(F.col("cum") <= 0.99 * F.col("total"))
     )
     return sel.groupBy("event_type").agg(
@@ -455,6 +456,10 @@ def _asof_hourly_enriched(spark, sf_dir):
         F.col("window_end").alias("h_end"),
         _avg6("sum_value", "n_points").alias("prev_hour_avg"),
     )
+    # NB: both as-of sides aggregate the raw table (Catalyst can't reuse one
+    # exchange across their different projections); a localCheckpoint of the
+    # tier was A/B-measured SLOWER (it serializes agg → broadcast → probe
+    # phases that otherwise overlap), so the double aggregate stays.
     matched = asof_join(
         hourly.select("event_type", "hs"),
         hourly.select("event_type", "h_end", "prev_hour_avg"),
