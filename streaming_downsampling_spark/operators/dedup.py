@@ -602,11 +602,58 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"] or 0), int(row["h"] or 0)
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Connected components of a PROVABLY SMALL edge set on the driver:
+    collect, numpy-dense union-find with path compression, min-id label per
+    component — the broadcast-hash-join pattern applied to CC (collecting a
+    bounded small side is exactly what every broadcast join already does).
+
+    Only called by :func:`connected_components_star` after its first
+    signature scan has COUNTED the edges under the caller's threshold, so
+    the collect is bounded by construction, never by hope.  Output schema
+    and values are identical to the iterative fixed point (same (node,
+    component=min id) contract; asserted equal on random graphs in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(inv[: len(u)].tolist(), inv[len(u):].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes)
+    )
+    mins = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mins, roots, nodes)
+    out = pd.DataFrame({"node": nodes, "component": mins[roots]})
+    dtype = dict(edges.dtypes)["u"]
+    return spark.createDataFrame(out).select(
+        F.col("node").cast(dtype), F.col("component").cast(dtype)
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 40,
+    small_graph_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -631,17 +678,49 @@ def connected_components_star(
 
     Output: (node, component) for every node appearing in ``pairs`` —
     identical semantics to :func:`connected_components`.
+
+    ``small_graph_max_edges``: when the FIRST signature scan (which already
+    counts the deduplicated edges — no extra job) reports at most this many
+    edges, the components are solved by one driver-side union-find instead
+    of the distributed alternations (:func:`_driver_union_find`) — the
+    broadcast-join tradeoff: at 500k edges the collect is ~8 MB, while each
+    avoided alternation is 3 serial shuffles of sub-second scheduling
+    latency.  Candidate-pair graphs are tiny relative to their corpora (the
+    whole point of LSH), so this is the common case at every scale; a
+    corpus whose candidate graph exceeds the bound takes the O(log n)
+    alternations exactly as before.  Set 0 to force the distributed path.
+    Integral id columns only (string ids always take the distributed path).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    # Self-pairs RIDE THROUGH the one checkpoint as (a, a) rows instead of
+    # being filtered before it: the contract-parity selfies leg at the
+    # bottom then reads the checkpointed blocks rather than re-running the
+    # whole upstream candidate pipeline a second time (measured: a full
+    # extra LSH pass per call).
+    all_edges = (
+        pairs.select(
+            F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v")
+        )
         .distinct()
         .localCheckpoint(eager=False)
+    )
+    edges = all_edges.filter(F.col("u") != F.col("v"))
+    selfies = all_edges.filter(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node")
     )
     # the signature collect is the first action over the lazy checkpoint, so
     # it materializes the initial edge set AND hashes it in one job
     sig = _edge_signature(edges)
+    if (
+        sig[0] <= small_graph_max_edges
+        and dict(edges.dtypes)["u"] in ("bigint", "int")
+        and dict(edges.dtypes)["v"] in ("bigint", "int")
+    ):
+        labels = _driver_union_find(edges)
+        return labels.unionByName(
+            selfies.join(labels.select("node"), "node", "left_anti").select(
+                "node", F.col("node").alias("component")
+            )
+        )
     win = Window.partitionBy("u")
     for _ in range(max_iter):
         # Each alternation is ONE materialized dataset + one O(1) signature
@@ -719,16 +798,11 @@ def connected_components_star(
         )
     )
     # Contract parity with connected_components: a node appearing ONLY in
-    # self-pairs (u == v) was removed by the u != v filter above but must
-    # still come back self-labeled.  The anti-join is one extra scan of
-    # ``pairs`` on a set that is empty for every pair generator in this
-    # repo (they all emit a < b) — the same scan discipline the
-    # propagation variant already accepts for its symmetric edge union.
-    selfies = (
-        pairs.filter(F.col(id_a) == F.col(id_b))
-        .select(F.col(id_a).alias("node"))
-        .distinct()
-    )
+    # self-pairs (u == v) was excluded from the star edges but must still
+    # come back self-labeled.  ``selfies`` reads the (a, a) rows straight
+    # off the initial checkpoint — empty for every pair generator in this
+    # repo (they all emit a < b), and never a re-run of the upstream
+    # candidate pipeline.
     return labels.unionByName(
         selfies.join(labels.select("node"), "node", "left_anti").select(
             "node", F.col("node").alias("component")

@@ -295,3 +295,37 @@ def test_spread_caps_at_row_groups(spark, tmp_path):
     est = _estimated_scan_splits(df, df.inputFiles())
     assert est == 1
     assert spread(df).rdd.getNumPartitions() >= 4  # repartitioned wide
+
+
+def test_star_cc_driver_union_find_equals_iterative(spark):
+    """The small-graph driver union-find path produces exactly the
+    distributed alternations' labels — random graphs incl. chains (the
+    diameter-hazard shape), cliques, isolated self-pairs and singletons."""
+    from streaming_downsampling_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = []
+    # a long chain (diameter hazard)
+    chain = list(range(100, 140))
+    edges += [(a, b) for a, b in zip(chain[:-1], chain[1:])]
+    # a clique
+    cl = [200, 201, 202, 203]
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1:]]
+    # random sparse pairs
+    for _ in range(60):
+        a, b = sorted(rng.integers(0, 80, 2).tolist())
+        edges.append((int(a), int(b)))  # may include self-pairs a == b
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = (
+        connected_components_star(pairs)
+        .orderBy("node")
+        .toPandas()
+    )
+    slow = (
+        connected_components_star(pairs, small_graph_max_edges=0)
+        .orderBy("node")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(fast, slow)
