@@ -618,7 +618,13 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     import pandas as pd
 
     spark = edges.sparkSession
+    dtype = dict(edges.dtypes)["u"]
+    schema = f"node {dtype}, component {dtype}"
     pdf = edges.toPandas()
+    if not len(pdf):
+        # empty candidate graph (all-unique corpus): explicit schema —
+        # pandas inference cannot type an empty frame
+        return spark.createDataFrame([], schema=schema)
     u = pdf["u"].to_numpy(dtype=np.int64)
     v = pdf["v"].to_numpy(dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
@@ -642,7 +648,6 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     mins = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(mins, roots, nodes)
     out = pd.DataFrame({"node": nodes, "component": mins[roots]})
-    dtype = dict(edges.dtypes)["u"]
     return spark.createDataFrame(out).select(
         F.col("node").cast(dtype), F.col("component").cast(dtype)
     )

@@ -329,3 +329,18 @@ def test_star_cc_driver_union_find_equals_iterative(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_star_cc_empty_candidate_graph(spark):
+    """An all-unique corpus yields ZERO candidate pairs; both CC paths must
+    return an empty, correctly-typed label set (not a schema-inference
+    crash)."""
+    from streaming_downsampling_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([], schema="doc_a bigint, doc_b bigint")
+    for kw in ({}, {"small_graph_max_edges": 0}):
+        out = connected_components_star(pairs, **kw)
+        assert out.columns == ["node", "component"]
+        assert out.count() == 0
